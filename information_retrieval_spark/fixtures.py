@@ -1,0 +1,191 @@
+"""Deterministic synthetic code corpus + reference query set (FIXTURES.md).
+
+Pure function of (seed, row index) via a splitmix64-style mixer — no RNG
+state, no wall clock — so the oracle, the Spark engine, and any re-run at any
+parallelism see byte-identical inputs. Shape follows BASELINE.json input_hint:
+``(repo, path, commit, lang, content)`` plus an explicit ``doc_id``.
+
+Head-term skew is built in: the 10 ``HEAD_TERMS`` each appear in ~85% of all
+documents, so a naive ``groupBy(term)`` posting build sees 10 giant groups —
+exactly the skew the salted two-phase build (SURVEY.md §4) must absorb.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+SEED = 42
+
+_MASK = (1 << 64) - 1
+
+
+def _splitmix64(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _MASK
+    z = x
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _MASK
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _MASK
+    return z ^ (z >> 31)
+
+
+def h(*parts: int) -> int:
+    """Deterministic 64-bit hash of an int tuple."""
+    acc = SEED
+    for p in parts:
+        acc = _splitmix64(acc ^ (p & _MASK))
+    return acc
+
+
+# ---------------------------------------------------------------- vocabulary
+
+HEAD_TERMS = [
+    "def", "return", "import", "class", "self",
+    "if", "for", "in", "none", "print",
+]
+
+# misspellable multi-char words exercised by the spell-correction path
+SPELLABLE = [
+    "tokenizer", "parser", "buffer", "stream", "matrix", "vector",
+    "handler", "request", "response", "schema", "partition", "iterator",
+]
+
+_KEYWORDS = [
+    "while", "else", "elif", "break", "continue", "lambda", "yield", "try",
+    "except", "finally", "raise", "with", "assert", "global", "pass", "true",
+    "false", "and", "or", "not", "is", "del",
+]
+
+_STEMS = [
+    "get", "set", "load", "save", "read", "write", "parse", "build", "make",
+    "run", "init", "close", "open", "send", "recv", "push", "pop", "find",
+    "scan", "merge", "split", "join", "map", "filter", "reduce", "sort",
+    "hash", "index", "query", "score", "rank", "fetch", "flush", "sync",
+    "batch", "chunk", "block", "page", "node", "edge", "graph", "tree",
+    "list", "dict", "cache", "store", "table", "row", "col", "key",
+]
+
+
+def build_vocab() -> list[str]:
+    """500-term code-like vocabulary, deterministic order."""
+    vocab: list[str] = []
+    vocab += HEAD_TERMS
+    vocab += SPELLABLE
+    vocab += _KEYWORDS
+    # snake_case / camelCase composites — note these are *emitted* whole into
+    # content; the code tokenizer splits them, so subtoken frequencies rise.
+    for i, a in enumerate(_STEMS):
+        for j in (1, 3):
+            b = _STEMS[(i * 7 + j) % len(_STEMS)]
+            if a != b:
+                vocab.append(f"{a}_{b}")
+                vocab.append(a + b.capitalize())
+        if len(vocab) >= 420:
+            break
+    k = 0
+    while len(vocab) < 500:
+        vocab.append(f"var{k}")
+        k += 1
+    return vocab[:500]
+
+
+VOCAB = build_vocab()
+
+LANGS = ["python", "python", "python", "java", "go", "js", "rust"]
+_EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "rust": "rs"}
+
+
+# ------------------------------------------------------------------- corpus
+
+@dataclass
+class CorpusRow:
+    doc_id: int
+    repo: str
+    path: str
+    commit: str
+    lang: str
+    content: str
+
+
+def make_row(i: int) -> CorpusRow:
+    lang = LANGS[h(i, 1) % len(LANGS)]
+    repo = f"org{i % 7}/repo{i % 23}"
+    path = f"src/mod{i % 41}/file{i}.{_EXT[lang]}"
+    commit = hashlib.sha1(f"commit-{i // 50}".encode()).hexdigest()
+    n_tokens = 30 + h(i, 2) % 371
+    toks = [VOCAB[h(i, 3, p) % len(VOCAB)] for p in range(n_tokens)]
+    # guaranteed head-term skew: head j present in ~85% of docs
+    for j, term in enumerate(HEAD_TERMS):
+        if h(i, 9000 + j) % 100 < 85:
+            toks.insert(h(i, 9100 + j) % (len(toks) + 1), term)
+    return CorpusRow(
+        doc_id=i, repo=repo, path=path, commit=commit, lang=lang,
+        content=" ".join(toks),
+    )
+
+
+def corpus_rows(n: int) -> list[CorpusRow]:
+    return [make_row(i) for i in range(n)]
+
+
+def write_corpus_parquet(path: str, n: int) -> None:
+    """Write the synthetic corpus with pyarrow (no Spark needed)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = corpus_rows(n)
+    table = pa.table(
+        {
+            "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+            "repo": pa.array([r.repo for r in rows]),
+            "path": pa.array([r.path for r in rows]),
+            "commit": pa.array([r.commit for r in rows]),
+            "lang": pa.array([r.lang for r in rows]),
+            "content": pa.array([r.content for r in rows]),
+        }
+    )
+    pq.write_table(table, path)
+
+
+# ------------------------------------------------------------------ queries
+
+def _misspell(word: str, i: int) -> str:
+    """Deterministic single-char transposition (classic typo)."""
+    if len(word) < 4:
+        return word + "e"
+    p = 1 + h(i, 77) % (len(word) - 2)
+    return word[:p] + word[p + 1] + word[p] + word[p + 2:]
+
+
+@dataclass
+class QueryRow:
+    query_id: int
+    query_text: str
+    k: int
+    method: str
+
+
+def make_queries(n: int = 50) -> list[QueryRow]:
+    """Reference query set per FIXTURES.md §2."""
+    methods = ["okapi25"] * 3 + ["ltn-lnn", "ltc-lnc"]
+    out: list[QueryRow] = []
+    for q in range(n):
+        n_terms = 1 + h(q, 11) % 5
+        terms = [VOCAB[h(q, 12, t) % len(VOCAB)] for t in range(n_terms)]
+        if q % 7 == 3 and len(terms) > 1:
+            terms[1] = terms[0]  # repeated-term query (quirk Q3)
+        if q % 9 == 4:
+            terms.append("zzznotfound")  # absent term
+        if q % 5 == 2:
+            sp = SPELLABLE[h(q, 13) % len(SPELLABLE)]
+            terms[0] = _misspell(sp, q)  # spell-correction path (quirk Q7)
+        if q == 17:
+            terms = ["def", "return"]  # likely stop-word-only query
+        out.append(
+            QueryRow(
+                query_id=q,
+                query_text=" ".join(terms),
+                k=10,
+                method=methods[q % len(methods)],
+            )
+        )
+    return out

@@ -1,0 +1,325 @@
+"""Inverted-index build pipeline (SURVEY.md §3.2 Spark redesign).
+
+Replaces the reference's driver-side triple loop over a trie
+(`ui/backend/mir/search/trie/phase1.py:83-106`) with a declarative Spark plan:
+
+    corpus scan → vectorized tokenize (Arrow batches) → explode
+      → stop-word top-K (two-phase hash agg, Catalyst)
+      → tf per (term, section, doc): ONE wide shuffle, naturally salted by
+        doc_id (the group key includes doc_id, so head-term skew — terms in
+        80%+ of docs — cannot concentrate on one reducer)
+      → flat postings sorted by term (row-group pruning for query-term
+        lookups) + doclen / term_df / stats / vocab / bigram-vocab tables
+
+Each output table is written once and recorded in ``manifest.json`` with row
+counts and a content hash — the resume path (``build_index(..., resume=True)``)
+skips any stage whose table already has a committed manifest entry
+(reference analogue: `ui/backend/mir/util/pickle_cache.py:8-33`).
+
+Scale notes (100 TB / 10^12 files):
+* tokens are never materialized — they stream from the scan into the first
+  aggregation within one stage (whole-stage pipeline, no tokens shuffle
+  beyond the tf groupBy);
+* the only term-keyed shuffle produces (term, section, doc_id) grain rows —
+  the packed/compressed shard layout (index/pack.py) builds doc-bucketed
+  shards on top, so no single task ever holds a full head-term posting list;
+* stop-word detection is a partial+final count agg + a K-row sort: free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from information_retrieval_spark.tokenize import SIMPLE_SPLIT_PATTERN, code_tokens
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("section", T.StringType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+    ]
+)
+
+
+def tokenize_corpus(
+    corpus: DataFrame,
+    sections: dict[str, str],
+    tokenizer: str = "code",
+    doc_id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus → (doc_id, section, term, pos) token table.
+
+    ``sections`` maps section name → source column (e.g. ``{"title": "path",
+    "abstract": "content"}``). ``tokenizer='simple'`` stays fully JVM-side
+    (split + posexplode, whole-stage codegen); ``'code'`` runs the shared
+    code-aware tokenizer over Arrow batches in ``mapInPandas`` (the
+    reference's spaCy pipe, `preprocess.py:23-39`, re-expressed batch-wise).
+    Positions are character offsets for ``code`` (quirk Q4) and token
+    ordinals for ``simple``.
+    """
+    if tokenizer == "simple":
+        parts = []
+        for name, col in sections.items():
+            toks = F.split(F.lower(F.col(col)), SIMPLE_SPLIT_PATTERN)
+            part = (
+                corpus.select(
+                    F.col(doc_id_col).alias("doc_id"),
+                    F.posexplode(toks).alias("pos", "term"),
+                )
+                .filter(F.col("term") != "")
+                .select(
+                    "doc_id",
+                    F.lit(name).alias("section"),
+                    "term",
+                    F.col("pos").cast("int").alias("pos"),
+                )
+            )
+            parts.append(part)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    sec_items = list(sections.items())
+    cols = [doc_id_col] + [c for _, c in sec_items]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, secs, terms, poss = [], [], [], []
+            for row in pdf.itertuples(index=False):
+                did = getattr(row, doc_id_col)
+                for sname, scol in sec_items:
+                    text = getattr(row, scol)
+                    if not text:
+                        continue
+                    for t, p in code_tokens(text):
+                        doc_ids.append(did)
+                        secs.append(sname)
+                        terms.append(t)
+                        poss.append(p)
+            yield pd.DataFrame(
+                {"doc_id": doc_ids, "section": secs, "term": terms, "pos": poss}
+            )
+
+    return corpus.select(*cols).mapInPandas(run, TOKENS_SCHEMA)
+
+
+def _write(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> None:
+    if sort_cols:
+        df = df.sortWithinPartitions(*sort_cols)
+    df.write.mode("overwrite").parquet(path)
+
+
+class IndexBuilder:
+    """Builds all index tables under ``index_dir`` with manifest + resume."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        sections: dict[str, str],
+        tokenizer: str = "code",
+        stop_k: int = 20,
+        doc_id_col: str = "doc_id",
+        n_buckets: int = 8,
+    ):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.sections = sections
+        self.tokenizer = tokenizer
+        self.stop_k = stop_k
+        self.doc_id_col = doc_id_col
+        self.n_buckets = n_buckets
+        self.manifest_path = os.path.join(index_dir, "manifest.json")
+        self.manifest: dict = {"stages": {}, "config": {
+            "sections": sections, "tokenizer": tokenizer, "stop_k": stop_k,
+            "n_buckets": n_buckets,
+        }}
+
+    # ------------------------------------------------------------ manifest
+
+    def _load_manifest(self) -> None:
+        if os.path.exists(self.manifest_path):
+            with open(self.manifest_path) as f:
+                on_disk = json.load(f)
+            if on_disk.get("config") == self.manifest["config"]:
+                self.manifest = on_disk
+
+    def _commit_stage(self, name: str, info: dict) -> None:
+        self.manifest["stages"][name] = info
+        os.makedirs(self.index_dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path)
+
+    def _done(self, name: str) -> bool:
+        return name in self.manifest["stages"]
+
+    def path(self, table: str) -> str:
+        return os.path.join(self.index_dir, table)
+
+    # --------------------------------------------------------------- build
+
+    def build(self, corpus: DataFrame, resume: bool = False) -> dict:
+        """Run all stages; with ``resume=True`` skip manifest-committed ones."""
+        if resume:
+            self._load_manifest()
+        t0 = time.time()
+
+        def stage(name: str, fn) -> None:
+            if self._done(name):
+                return
+            s = time.time()
+            extra = fn() or {}
+            self._commit_stage(
+                name, {"wall_s": round(time.time() - s, 3), **extra}
+            )
+
+        corpus = corpus.cache()
+        tokens = tokenize_corpus(
+            corpus, self.sections, self.tokenizer, self.doc_id_col
+        )
+
+        # stage 1: corpus stats (n_docs = FULL corpus size, quirk Q1 tf-idf N)
+        def s_stats():
+            n_docs = corpus.count()
+            pd.DataFrame({"n_docs": [n_docs]}).to_parquet(
+                self._ensure(self.path("stats")) + "/stats.parquet"
+            )
+            return {"n_docs": n_docs}
+
+        stage("stats", s_stats)
+
+        # stage 2: stop-words — corpus-relative top-K (quirk Q6), ties
+        # (count desc, term asc); partial+final agg then K-row driver sort
+        def s_stop():
+            counts = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
+            top = (
+                counts.orderBy(F.desc("cnt"), F.asc("term"))
+                .limit(self.stop_k)
+                .withColumn(
+                    "rank",
+                    F.row_number().over(
+                        Window.orderBy(F.desc("cnt"), F.asc("term"))
+                    ),
+                )
+            )
+            _write(top, self.path("stopwords"))
+            return {}
+
+        stage("stop", s_stop)
+
+        stop_df = self.spark.read.parquet(self.path("stopwords"))
+        stop_terms = [r.term for r in stop_df.collect()]
+        non_stop = tokens.filter(~F.col("term").isin(stop_terms))
+
+        # stage 3: doclen (dl per doc/section over NON-STOP tokens, quirk Q2)
+        def s_doclen():
+            dl = non_stop.groupBy("doc_id", "section").agg(
+                F.count("*").alias("dl")
+            )
+            _write(dl, self.path("doclen"), ["doc_id"])
+            return {}
+
+        stage("doclen", s_doclen)
+
+        # stage 4: flat postings — ONE shuffle keyed (term, section, doc_id);
+        # tf = distinct positions (quirk Q4: the trie stores offset SETs)
+        def s_postings():
+            tf = non_stop.groupBy("term", "section", "doc_id").agg(
+                F.array_sort(F.collect_set("pos")).alias("positions")
+            ).withColumn("tf", F.size("positions")).withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
+            )
+            # global sort by term → parquet min/max row-group stats make
+            # query-term lookups prune to a handful of row groups
+            out = tf.repartitionByRange(
+                max(self.spark.sparkContext.defaultParallelism, 8),
+                "term", "section", "doc_id",
+            )
+            _write(out, self.path("postings_flat"), ["term", "section", "doc_id"])
+            n = self.spark.read.parquet(self.path("postings_flat")).count()
+            return {"rows": n}
+
+        stage("postings", s_postings)
+
+        postings = self.spark.read.parquet(self.path("postings_flat"))
+
+        # stage 5: term_df — docs containing term in ANY section (trie doc-key
+        # semantics, `trie/phase1.py:22-25`)
+        def s_term_df():
+            tdf = postings.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")
+            )
+            _write(tdf, self.path("term_df"), ["term"])
+            return {}
+
+        stage("term_df", s_term_df)
+
+        # stage 6: bigram vocabulary for spell correction — DISTINCT cleaned
+        # terms incl. stop words (`bigram_index/phase1.py:45-59` builds over
+        # cleaned_documents, pre-stop-removal)
+        def s_vocab():
+            vocab = tokens.select("term").distinct()
+            _write(vocab, self.path("vocab"), ["term"])
+            return {}
+
+        stage("vocab", s_vocab)
+
+        # stage 7: lineage/metrics — per-partition accounting of the postings
+        # table (north_rule: per-partition lineage + metrics)
+        def s_lineage():
+            lin = (
+                postings.withColumn("part_id", F.spark_partition_id())
+                .groupBy("part_id")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.countDistinct("term").alias("terms"),
+                    F.sum("tf").alias("tokens"),
+                    F.expr(
+                        "bit_xor(xxhash64(term, section, doc_id, tf))"
+                    ).alias("content_hash"),
+                )
+            )
+            _write(lin, self.path("lineage"))
+            return {}
+
+        stage("lineage", s_lineage)
+
+        self._commit_stage(
+            "ALL", {"wall_s": round(time.time() - t0, 3)}
+        )
+        corpus.unpersist()
+        return self.manifest
+
+    @staticmethod
+    def _ensure(p: str) -> str:
+        os.makedirs(p, exist_ok=True)
+        return p
+
+
+def index_content_hash(spark: SparkSession, index_dir: str) -> int:
+    """Order-insensitive content hash of the flat postings (rebuild
+    determinism + resume equivalence checks, FIXTURES.md §6.5)."""
+    df = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+    row = df.select(
+        F.expr(
+            "bit_xor(xxhash64(term, section, doc_id, tf, hash(positions)))"
+        ).alias("h")
+    ).collect()[0]
+    return int(row.h or 0)
+
+
+def sha256_invariant(corpus: DataFrame, content_col: str = "content") -> DataFrame:
+    """Per-row content sha256 (input_hint invariant) as a JVM-side column."""
+    return corpus.withColumn("content_sha256", F.sha2(F.col(content_col), 256))

@@ -1,0 +1,345 @@
+"""Batch query engine: BM25 (okapi25) + tf-idf (ltn-lnn / ltc-lnc) top-k.
+
+Re-expresses the reference's per-query driver loop (`ui/backend/mir/search/
+search/phase1.py:19-107`, `common.py:59-154`) as ONE declarative Spark plan
+over a *batch* of queries: the tiny query-term table is broadcast against the
+term-sorted postings table (predicate pushdown prunes row groups to the
+query's terms), then per-query candidate stats, idf, and scores are plain
+aggregations — Catalyst handles partial aggregation and join strategy.
+
+Quirk replication (SURVEY.md §2.11) — all scoring constants derive from the
+per-query candidate set exactly as the reference does:
+  Q1 BM25 N = |candidates| (`common.py:126`), tf-idf N = full corpus
+     (`common.py:67`);
+  Q2 avgdl over candidates only, missing section ⇒ dl = 0 (`common.py:136-143`);
+  Q3 query-term multiplicity multiplies its BM25 contribution
+     (`common.py:147-154`);
+  Q5 per-section scores fused w·abstract + (1−w)·title (`phase1.py:68-71`);
+  Q7 spell-correction on the raw query string, driver-side, from the shared
+     module `query/spell.py`;
+  Q8 candidate set = OR over query terms (`common.py:73-75,120-122`);
+  prefix artifact — `match_mode='prefix'` scores every doc containing any
+     token with the query term as prefix, gated on the exact term existing
+     (`trie/phase1.py:17-36`); implemented as a broadcast range join on the
+     sorted term column.
+
+Ranking ties are pinned to (-round(score, 9), doc_id) in engine AND oracle:
+float-sum order across systems differs at ~1 ulp, so raw-double ordering of
+exact ties would be nondeterministic (SURVEY.md §1.4-2).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from information_retrieval_spark.query.spell import build_bigram_dict, correct_text
+from information_retrieval_spark.tokenize import code_terms, simple_tokens
+
+K1 = 1.2
+B = 0.75
+MAX_CHAR = "\U0010FFFF"
+
+
+@dataclass
+class QuerySpec:
+    query_id: int
+    text: str
+    method: str = "okapi25"  # okapi25 | ltn-lnn | ltc-lnc
+    k: int = 10
+    section_weights: dict[str, float] = field(default_factory=dict)
+    spell: bool = True
+    match_mode: str = "prefix"  # prefix (reference parity) | exact
+
+
+class SearchEngine:
+    """Reads the index tables written by ``IndexBuilder`` and answers
+    batches of ranked-retrieval queries."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.postings = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+        self.doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
+        self.term_df = spark.read.parquet(os.path.join(index_dir, "term_df"))
+        import pandas as pd
+
+        stats = pd.read_parquet(os.path.join(index_dir, "stats"))
+        self.n_docs = int(stats["n_docs"].iloc[0])
+        cfg_sections = spark.read.parquet(os.path.join(index_dir, "stopwords"))
+        self.stop_terms = {r.term for r in cfg_sections.collect()}
+        import json
+
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.config = json.load(f)["config"]
+        self.sections = list(self.config["sections"].keys())
+        self.tokenizer = self.config["tokenizer"]
+        # Spell dictionary: vocabulary-sized, collected to the driver and
+        # built once. Scale path (vocab >> driver RAM): correction becomes a
+        # distributed bigram-table join; the driver path is correct and is
+        # what the reference does (its whole index lives in driver RAM).
+        self._bigram_dict: dict | None = None
+
+    # ------------------------------------------------------------- helpers
+
+    @property
+    def bigram_dict(self) -> dict:
+        if self._bigram_dict is None:
+            vocab = [r.term for r in self.spark.read.parquet(
+                os.path.join(self.index_dir, "vocab")).collect()]
+            self._bigram_dict = build_bigram_dict(vocab)
+        return self._bigram_dict
+
+    def _tokenize_query(self, text: str) -> list[str]:
+        toks = code_terms(text) if self.tokenizer == "code" else simple_tokens(text)
+        return [t for t in toks if t not in self.stop_terms]
+
+    def prepare_query_tokens(self, q: QuerySpec) -> list[str]:
+        text = correct_text(self.bigram_dict, q.text) if q.spell else q.text
+        return self._tokenize_query(text)
+
+    def _default_weights(self, q: QuerySpec) -> dict[str, float]:
+        if q.section_weights:
+            return q.section_weights
+        if set(self.sections) == {"title", "abstract"}:
+            return {"abstract": 0.2, "title": 0.8}
+        return {self.sections[0]: 1.0}
+
+    # --------------------------------------------------------------- plans
+
+    def _matched(self, qterms: DataFrame, match_mode: str) -> DataFrame:
+        """(query_id, qterm, mult, doc_id, section, tf) — tf merged over the
+        prefix expansion when match_mode='prefix'."""
+        p = self.postings.select("term", "section", "doc_id", "tf")
+        if match_mode == "exact":
+            m = p.join(F.broadcast(qterms), p.term == qterms.qterm)
+        else:
+            cond = (p.term >= qterms.qterm) & (
+                p.term < F.concat(qterms.qterm, F.lit(MAX_CHAR))
+            )
+            m = p.join(F.broadcast(qterms), cond)
+            # is_end gate: the exact term must exist somewhere in the corpus
+            w = Window.partitionBy("query_id", "qterm")
+            m = m.withColumn(
+                "has_exact",
+                F.max((F.col("term") == F.col("qterm")).cast("int")).over(w),
+            ).filter(F.col("has_exact") == 1)
+        return m.groupBy("query_id", "qterm", "mult", "doc_id", "section").agg(
+            F.sum("tf").alias("tf")
+        )
+
+    def _cand_stats(self, matched: DataFrame):
+        """Candidate set + per-query N + per-(query, section) avgdl (Q1/Q2)."""
+        cand = matched.select("query_id", "doc_id").distinct()
+        nq = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+        sec = self.spark.createDataFrame(
+            [(s,) for s in self.sections], ["section"]
+        )
+        cand_sec = cand.crossJoin(F.broadcast(sec))
+        avgdl = (
+            cand_sec.join(self.doclen, ["doc_id", "section"], "left")
+            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+            .groupBy("query_id", "section")
+            .agg(F.avg("dl").alias("avgdl"))
+        )
+        return cand, nq, avgdl
+
+    def _fuse_rank(
+        self, section_scores: DataFrame, weights_df: DataFrame, ks_df: DataFrame
+    ) -> DataFrame:
+        fused = (
+            section_scores.join(
+                F.broadcast(weights_df), ["query_id", "section"], "inner"
+            )
+            .groupBy("query_id", "doc_id")
+            .agg(F.sum(F.col("s_score") * F.col("w")).alias("score"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", 9)), F.asc("doc_id")
+        )
+        return (
+            fused.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(ks_df), "query_id")
+            .filter((F.col("rank") <= F.col("k")) | (F.col("k") < 0))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+
+    def _score_okapi(self, matched: DataFrame) -> DataFrame:
+        cand, nq, avgdl = self._cand_stats(matched)
+        dfq = matched.groupBy("query_id", "qterm").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        scored = (
+            matched.join(dfq, ["query_id", "qterm"])
+            .join(nq, "query_id")
+            .join(avgdl, ["query_id", "section"])
+            .join(self.doclen, ["doc_id", "section"], "left")
+            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_cand") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                ),
+            )
+            .withColumn(
+                "contrib",
+                F.col("mult")
+                * F.col("idf")
+                * (F.col("tf") * (K1 + 1))
+                / (
+                    F.col("tf")
+                    + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+                ),
+            )
+        )
+        return scored.groupBy("query_id", "doc_id", "section").agg(
+            F.sum("contrib").alias("s_score")
+        )
+
+    def _score_tfidf(self, matched: DataFrame, doc_norm_cosine: bool) -> DataFrame:
+        """ltn-lnn / ltc-lnc. ``matched`` must carry a ``q_w`` column (the
+        driver-computed query weight, `common.py:26-56`)."""
+        base = (
+            matched.withColumn("d_wtf", 1.0 + F.log("tf"))
+            .withColumn(
+                "idf", F.log(F.lit(float(self.n_docs)) / F.col("df_global"))
+            )
+        )
+        if doc_norm_cosine:
+            wn = Window.partitionBy("query_id", "doc_id", "section")
+            base = base.withColumn(
+                "dnorm", F.sqrt(F.sum(F.col("d_wtf") * F.col("d_wtf")).over(wn))
+            )
+        else:
+            base = base.withColumn("dnorm", F.lit(1.0))
+        scored = base.withColumn(
+            "contrib", F.col("q_w") * F.col("d_wtf") * F.col("idf") / F.col("dnorm")
+        )
+        return scored.groupBy("query_id", "doc_id", "section").agg(
+            F.sum("contrib").alias("s_score")
+        )
+
+    # ---------------------------------------------------------------- main
+
+    def search(self, queries: list[QuerySpec]) -> DataFrame:
+        """Answer a batch of queries → (query_id, rank, doc_id, score)."""
+        okapi = [q for q in queries if q.method == "okapi25"]
+        tfidf = [q for q in queries if q.method != "okapi25"]
+        outs = []
+        if okapi:
+            outs.append(self._search_okapi(okapi))
+        for doc_cos, grp in (
+            (False, [q for q in tfidf if q.method == "ltn-lnn"]),
+            (True, [q for q in tfidf if q.method == "ltc-lnc"]),
+        ):
+            if grp:
+                outs.append(self._search_tfidf(grp, doc_cos))
+        if not outs:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        out = outs[0]
+        for o in outs[1:]:
+            out = out.unionByName(o)
+        return out
+
+    def _qterm_rows(self, queries: list[QuerySpec]):
+        """Driver-side query prep: spell + tokenize + stop-filter + counts."""
+        rows = []
+        per_query_tokens = {}
+        for q in queries:
+            toks = self.prepare_query_tokens(q)
+            per_query_tokens[q.query_id] = toks
+            seen = {}
+            for t in toks:
+                seen[t] = seen.get(t, 0) + 1
+            for t, m in seen.items():
+                rows.append((q.query_id, t, m))
+        return rows, per_query_tokens
+
+    def _search_okapi(self, queries: list[QuerySpec]) -> DataFrame:
+        rows, _ = self._qterm_rows(queries)
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        qterms = self.spark.createDataFrame(
+            rows, "query_id long, qterm string, mult int"
+        )
+        mode = queries[0].match_mode
+        matched = self._matched(qterms, mode)
+        section_scores = self._score_okapi(matched)
+        weights_df = self._weights_df(queries)
+        ks_df = self.spark.createDataFrame(
+            [(q.query_id, q.k) for q in queries], "query_id long, k int"
+        )
+        return self._fuse_rank(section_scores, weights_df, ks_df)
+
+    def _search_tfidf(self, queries: list[QuerySpec], doc_cos: bool) -> DataFrame:
+        rows, per_query_tokens = self._qterm_rows(queries)
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        # presence + global df lookup (tiny pushed-filter scan, collected)
+        all_terms = sorted({t for _, t, _ in rows})
+        present = {
+            r.term: r.df
+            for r in self.term_df.filter(F.col("term").isin(all_terms)).collect()
+        }
+        # query weights (`common.py:26-56`): tf over dup tokens, 1+ln, then
+        # cosine-normalize for *-lnc; df=0 terms dropped (documented deviation)
+        qrows = []
+        for q in queries:
+            toks = per_query_tokens[q.query_id]
+            qtf = {t: toks.count(t) for t in set(toks) if t in present}
+            if not qtf:
+                continue
+            wtf = {t: 1.0 + math.log(v) for t, v in qtf.items()}
+            qnorm = (
+                math.sqrt(sum(w * w for w in wtf.values()))
+                if q.method.endswith("c")
+                else 1.0
+            )
+            for t, wv in wtf.items():
+                qrows.append(
+                    (q.query_id, t, wv / qnorm, float(present[t]))
+                )
+        if not qrows:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        qterms = self.spark.createDataFrame(
+            qrows, "query_id long, qterm string, q_w double, df_global double"
+        ).withColumn("mult", F.lit(1))
+        mode = queries[0].match_mode
+        matched = self._matched(qterms, mode)
+        # re-attach q_w / df_global lost by the groupBy in _matched
+        qmeta = qterms.select("query_id", "qterm", "q_w", "df_global")
+        matched = matched.join(F.broadcast(qmeta), ["query_id", "qterm"])
+        # prefix mode: df_global for idf must be the per-query expanded df
+        # (the reference computes df from the trie lookup, `common.py:19-23`)
+        dfq = matched.groupBy("query_id", "qterm").agg(
+            F.countDistinct("doc_id").alias("df_q")
+        )
+        matched = matched.drop("df_global").join(
+            dfq, ["query_id", "qterm"]
+        ).withColumnRenamed("df_q", "df_global")
+        section_scores = self._score_tfidf(matched, doc_cos)
+        weights_df = self._weights_df(queries)
+        ks_df = self.spark.createDataFrame(
+            [(q.query_id, q.k) for q in queries], "query_id long, k int"
+        )
+        return self._fuse_rank(section_scores, weights_df, ks_df)
+
+    def _weights_df(self, queries: list[QuerySpec]) -> DataFrame:
+        wrows = []
+        for q in queries:
+            for s, w in self._default_weights(q).items():
+                wrows.append((q.query_id, s, float(w)))
+        return self.spark.createDataFrame(
+            wrows, "query_id long, section string, w double"
+        )

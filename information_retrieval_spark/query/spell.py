@@ -1,0 +1,91 @@
+"""Bigram-index spell correction (reference parity, deterministic ties).
+
+Replicates `ui/backend/mir/search/bigram_index/phase1.py` semantics:
+
+* dictionary = char-2-grams over ``¶word¶`` of every *distinct* token in the
+  cleaned corpus; ``dict[bigram][word]`` = multiplicity of the bigram within
+  that word (`phase1.py:45-59`).
+* per query word: hits = Σ_b m_query(b)·m_word(b); Jaccard-ish score
+  ``hits / (len(q)+len(w)+2-hits)`` (`phase1.py:80-94`); top-20 by score,
+  then minimum Levenshtein among them (`phase1.py:95-103`).
+* the corrected word replaces **all substring occurrences** in the query
+  (``str.replace``, quirk Q7 — `phase1.py:102`).
+
+Deviations (documented, deterministic): the reference's top-20 cut and its
+first-strict-min edit-distance scan inherit Python dict order; we pin ties to
+``(-score, word)`` and ``(distance, -score, word)``.
+
+This module is pure Python: it runs on the **driver** over the broadcast
+dictionary (vocabulary-sized) in the engine, and inside `tests/oracle.py` —
+shared verbatim, so the two agree by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+WORD_BOUNDARY_CHAR = "¶"  # ¶
+
+
+def word_bigrams(word: str) -> list[str]:
+    w = WORD_BOUNDARY_CHAR + word + WORD_BOUNDARY_CHAR
+    return [w[i : i + 2] for i in range(len(w) - 1)]
+
+
+def build_bigram_dict(words: Iterable[str]) -> dict[str, dict[str, int]]:
+    """bigram → word → multiplicity of the bigram inside the word."""
+    index: dict[str, dict[str, int]] = {}
+    seen: set[str] = set()
+    for word in words:
+        if word in seen:
+            continue
+        seen.add(word)
+        for bg in word_bigrams(word):
+            bucket = index.setdefault(bg, {})
+            bucket[word] = bucket.get(word, 0) + 1
+    return index
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Plain edit distance (ins/del/sub cost 1), matching nltk defaults."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def correct_word(
+    bigram_dict: dict[str, dict[str, int]], word: str, similar_words_limit: int = 20
+) -> str:
+    hits: dict[str, int] = {}
+    for bg in word_bigrams(word):
+        for cand, mult in bigram_dict.get(bg, {}).items():
+            hits[cand] = hits.get(cand, 0) + mult
+    if not hits:
+        return word
+    scores = {
+        cand: n / (len(word) + len(cand) + 2 - n) for cand, n in hits.items()
+    }
+    similar = sorted(scores, key=lambda wd: (-scores[wd], wd))[:similar_words_limit]
+    best = min(similar, key=lambda wd: (levenshtein(wd, word), -scores[wd], wd))
+    return best if levenshtein(best, word) < float("inf") else word
+
+
+def correct_text(bigram_dict: dict[str, dict[str, int]], text: str) -> str:
+    """Correct each whitespace token; replace ALL substring occurrences
+    (reference `str.replace` semantics, quirk Q7)."""
+    corrected = text
+    for token in text.split():
+        fixed = correct_word(bigram_dict, token)
+        if fixed != token:
+            corrected = corrected.replace(token, fixed)
+    return corrected
