@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator battery over the driver testdata
+tables; ``oracle_sql()`` gives the DuckDB twin for every SQL-expressible op.
+Non-SQL-expressible entries (block-max WAND over the packed binary index,
+multimodal decode plumbing, HITS) intentionally omit the oracle — the driver
+records the weaker rows-only check and pytest covers them against the
+pure-Python oracle in ``tests/oracle.py``.
+
+Column-name / rounding convention: every computed column is aliased
+identically on both sides; float score columns are rounded to 6 decimals
+(suffix ``_r``) INSIDE both queries so cross-engine float-sum ulp noise
+cannot break the driver's value hash.
 """
 
 from __future__ import annotations
@@ -13,26 +19,76 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from information_retrieval_spark.ops import dedup, graph, ir_direct, similarity, textstats
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 top-10 over documents at sf0.001 (one declarative
+    plan: tokenize → stop-filter → tf/dl aggs → broadcast qterms join →
+    candidate-set BM25 → per-query window top-k)."""
+    return ir_direct.q_bm25_topk(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # --- IR core (SURVEY.md §2.1-2.8) over `documents` -----------------
+        "term_counts": ir_direct.q_term_counts,       # A1
+        "stop_topk": ir_direct.q_stop_topk,           # A1 + Q6
+        "term_df": ir_direct.q_term_df,               # A3
+        "doclen": ir_direct.q_doclen,                 # A4
+        "tf": ir_direct.q_tf,                         # A2
+        "candidates": ir_direct.q_candidates,         # U1/J1 + Q8
+        "bm25_topk": ir_direct.q_bm25_topk,           # F8/F10 + Q1-Q3, T1
+        "tfidf_ltn": ir_direct.q_tfidf_ltn,           # F6/F9
+        "tfidf_ltc": ir_direct.q_tfidf_ltc,           # F6/F7/F9
+        "bigram_index": ir_direct.q_bigram_index,     # A6/F3
+        # --- text analysis -------------------------------------------------
+        "token_count": textstats.q_token_count,
+        "quality": textstats.q_quality,
+        "langid": textstats.q_langid,
+        "fingerprint": textstats.q_fingerprint,
+        # --- deduplication -------------------------------------------------
+        "dedup_exact": dedup.q_dedup_exact,
+        "minhash_sig": dedup.q_minhash_signatures,
+        "minhash_pairs": dedup.q_minhash_pairs,
+        "simhash": dedup.q_simhash,
+        "jaccard_pairs": dedup.q_jaccard_pairs,
+        # --- similarity search over `embeddings` ---------------------------
+        "cosine_topk": similarity.q_cosine_topk,
+        "srp_buckets": similarity.q_srp_buckets,
+        "ann_lsh_topk": similarity.q_ann_lsh_topk,
+        # --- graph scoring -------------------------------------------------
+        "pagerank": graph.q_pagerank,                 # G1 (fixed iters)
+        "hits": graph.q_hits,                         # G2 (rows-only check)
+    }
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "term_counts": ir_direct.SQL_TERM_COUNTS,
+        "stop_topk": ir_direct.SQL_STOP_TOPK,
+        "term_df": ir_direct.SQL_TERM_DF,
+        "doclen": ir_direct.SQL_DOCLEN,
+        "tf": ir_direct.SQL_TF,
+        "candidates": ir_direct.SQL_CANDIDATES,
+        "bm25_topk": ir_direct.SQL_BM25_TOPK,
+        "tfidf_ltn": ir_direct.SQL_TFIDF_LTN,
+        "tfidf_ltc": ir_direct.SQL_TFIDF_LTC,
+        "bigram_index": ir_direct.SQL_BIGRAM_INDEX,
+        "token_count": textstats.SQL_TOKEN_COUNT,
+        "quality": textstats.SQL_QUALITY,
+        "langid": textstats.SQL_LANGID,
+        "fingerprint": textstats.SQL_FINGERPRINT,
+        "dedup_exact": dedup.SQL_DEDUP_EXACT,
+        "minhash_sig": dedup.SQL_MINHASH_SIG,
+        "minhash_pairs": dedup.SQL_MINHASH_PAIRS,
+        "simhash": dedup.SQL_SIMHASH,
+        "jaccard_pairs": dedup.SQL_JACCARD_PAIRS,
+        "cosine_topk": similarity.SQL_COSINE_TOPK,
+        "srp_buckets": similarity.SQL_SRP_BUCKETS,
+        "ann_lsh_topk": similarity.SQL_ANN_LSH_TOPK,
+        "pagerank": graph.SQL_PAGERANK,
+        # "hits": intentionally omitted (iterative global L2 normalization;
+        # rows-only check — pytest covers value correctness)
+    }

@@ -1,0 +1,417 @@
+"""Driver-verifiable IR operators as single declarative Spark plans.
+
+These run the index-build + ranked-retrieval math of SURVEY.md §2 *directly*
+over the ``documents`` testdata table (simple tokenizer), with an exact ANSI
+SQL twin for each so the driver's DuckDB oracle can value-check them. The
+persisted-index engine (`index/build.py`, `query/engine.py`) implements the
+same semantics over the code corpus and is oracle-checked by pytest.
+
+Semantics replicated from the reference (citations per op):
+* stop words = corpus top-K by frequency (quirk Q6,
+  `ui/backend/mir/search/corpus/phase1.py:46-52`);
+* candidate set = OR over query terms (quirk Q8,
+  `ui/backend/mir/search/search/common.py:73-75,120-122`);
+* BM25 N and avgdl from the per-query candidate set (quirks Q1/Q2,
+  `common.py:126,136-143`), query-term multiplicity multiplies its
+  contribution (quirk Q3, `common.py:147-154`);
+* tf-idf ltn-lnn / ltc-lnc weighting (`common.py:8-16,26-69`);
+* deterministic top-k tie-break (-round(score,9), doc_id)
+  (SURVEY.md §1.4-2).
+
+Scale notes (100 TB): every op is explode → hash-agg → (broadcast) join →
+agg. The only wide shuffles key on (term) or (doc_id); the tiny query-term
+/ per-query-stat tables broadcast. Scores round to 6 decimals ONLY in the
+driver-compare projection (float-sum order across partitions is
+nondeterministic at the ulp level in any engine).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from information_retrieval_spark.ops.common import (
+    SQL_TOKENS,
+    sql_stop,
+    stop_terms_df,
+    tokens_view,
+)
+
+K1 = 1.2
+B = 0.75
+STOP_K = 20
+TOP_K = 10
+
+# Inline reference query set over the testdata vocabulary (OLAP-ish words).
+# (query_id, text). q3 repeats a term (quirk Q3); q5 has an absent term;
+# q6 is a single stop-word-heavy query.
+QUERY_SET: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "window aggregate scan"),
+    (2, "merge sort stream"),
+    (3, "table table filter"),
+    (4, "query value part row"),
+    (5, "zzznotfound batch"),
+    (6, "data"),
+    (7, "group order column line"),
+]
+
+
+def _queries_sql_values() -> str:
+    rows = ", ".join(f"({i}, '{t}')" for i, t in QUERY_SET)
+    return f"(VALUES {rows}) AS q(query_id, qtext)"
+
+
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------- basic aggs
+
+def q_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequency (A1, `preprocess.py:58-76`)."""
+    t = tokens_view(load_documents(spark, sf_dir))
+    return t.groupBy("term").agg(F.count("*").alias("cnt"))
+
+
+SQL_TERM_COUNTS = f"SELECT term, count(*) AS cnt FROM ({SQL_TOKENS}) GROUP BY term"
+
+
+def q_stop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative stop words with deterministic rank (A1 + Q6)."""
+    t = tokens_view(load_documents(spark, sf_dir))
+    top = stop_terms_df(t, STOP_K)
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "term", "cnt"
+    )
+
+
+SQL_STOP_TOPK = f"""
+SELECT row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank, term, cnt
+FROM (SELECT term, count(*) AS cnt FROM ({SQL_TOKENS}) GROUP BY term)
+ORDER BY cnt DESC, term ASC LIMIT {STOP_K}
+"""
+
+
+def q_term_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per term (A3, `common.py:19-23`)."""
+    t = tokens_view(load_documents(spark, sf_dir))
+    return t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+
+
+SQL_TERM_DF = (
+    f"SELECT term, count(DISTINCT doc_id) AS df FROM ({SQL_TOKENS}) GROUP BY term"
+)
+
+
+def q_doclen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc length over NON-STOP tokens (A4, `common.py:136-143`)."""
+    t = tokens_view(load_documents(spark, sf_dir))
+    stop = stop_terms_df(t, STOP_K).select("term")
+    ns = t.join(F.broadcast(stop), "term", "left_anti")
+    return ns.groupBy("doc_id").agg(F.count("*").alias("dl"))
+
+
+SQL_DOCLEN = f"""
+SELECT doc_id, count(*) AS dl FROM ({SQL_TOKENS})
+WHERE term NOT IN ({sql_stop(STOP_K)}) GROUP BY doc_id
+"""
+
+
+def q_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term frequency per (doc, term) over non-stop tokens (A2)."""
+    t = tokens_view(load_documents(spark, sf_dir))
+    stop = stop_terms_df(t, STOP_K).select("term")
+    ns = t.join(F.broadcast(stop), "term", "left_anti")
+    return ns.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+
+
+SQL_TF = f"""
+SELECT doc_id, term, count(*) AS tf FROM ({SQL_TOKENS})
+WHERE term NOT IN ({sql_stop(STOP_K)}) GROUP BY doc_id, term
+"""
+
+
+# ------------------------------------------------------- query-set plumbing
+
+def _qterms(spark: SparkSession) -> DataFrame:
+    """(query_id, qterm, mult) — tokenized inline query set with duplicate
+    multiplicity (quirk Q3). Tiny: always broadcast."""
+    q = spark.createDataFrame(QUERY_SET, "query_id int, qtext string")
+    toks = F.split(F.lower(F.col("qtext")), "[^a-z0-9]+")
+    return (
+        q.select("query_id", F.explode(toks).alias("qterm"))
+        .filter(F.col("qterm") != "")
+        .groupBy("query_id", "qterm")
+        .agg(F.count("*").alias("mult"))
+    )
+
+
+SQL_QTERMS = f"""
+  SELECT query_id, qterm, count(*) AS mult
+  FROM (
+    SELECT query_id,
+           unnest(string_split_regex(lower(qtext), '[^a-z0-9]+')) AS qterm
+    FROM {_queries_sql_values()}
+  )
+  WHERE qterm <> ''
+  GROUP BY query_id, qterm
+"""
+
+
+def q_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query candidate set: OR-union over query terms (U1/J1, quirk Q8,
+    `common.py:73-75`). Broadcast-hash-join of postings against the tiny
+    query-term table; Catalyst prunes the token scan to two columns."""
+    tf = q_tf(spark, sf_dir)
+    qt = _qterms(spark)
+    m = tf.join(F.broadcast(qt), tf.term == qt.qterm)
+    return m.select("query_id", "doc_id").distinct()
+
+
+SQL_CANDIDATES = f"""
+SELECT DISTINCT query_id, doc_id
+FROM ({SQL_TF}) tf JOIN ({SQL_QTERMS}) qt ON tf.term = qt.qterm
+"""
+
+
+# ------------------------------------------------------------------- BM25
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 per query, quirks Q1/Q2/Q3/Q8 intact.
+
+    Plan shape: (tf hash-agg) ⨝broadcast (qterms) → per-query stats by two
+    tiny hash-aggs (n_cand, avgdl, df) rebroadcast → scoring expressions in
+    whole-stage codegen → per-query row_number window (partition = query_id,
+    ~|candidates| rows each) → k cut. Score rounded to 6 decimals for the
+    engine-portable compare only.
+    """
+    docs = load_documents(spark, sf_dir)
+    t = tokens_view(docs)
+    stop = stop_terms_df(t, STOP_K).select("term")
+    ns = t.join(F.broadcast(stop), "term", "left_anti")
+    tf = ns.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = ns.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    qt = _qterms(spark)
+
+    m = tf.join(F.broadcast(qt), tf.term == qt.qterm).select(
+        "query_id", "qterm", "mult", "doc_id", "tf"
+    )
+    cand = m.select("query_id", "doc_id").distinct()
+    nq = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    avgdl = (
+        cand.join(dl, "doc_id")
+        .groupBy("query_id")
+        .agg(F.avg("dl").alias("avgdl"))
+    )
+    dfq = m.groupBy("query_id", "qterm").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        m.join(F.broadcast(dfq), ["query_id", "qterm"])
+        .join(F.broadcast(nq), "query_id")
+        .join(F.broadcast(avgdl), "query_id")
+        .join(dl, "doc_id")
+        .withColumn(
+            "idf",
+            F.log((F.col("n_cand") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0),
+        )
+        .withColumn(
+            "contrib",
+            F.col("mult") * F.col("idf") * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH toks AS ({SQL_TOKENS}),
+stop AS ({sql_stop(STOP_K)}),
+ns AS (SELECT * FROM toks WHERE term NOT IN (SELECT term FROM stop)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ns GROUP BY doc_id, term),
+dl AS (SELECT doc_id, count(*) AS dl FROM ns GROUP BY doc_id),
+qt AS ({SQL_QTERMS}),
+m AS (
+  SELECT qt.query_id, qt.qterm, qt.mult, tf.doc_id, tf.tf
+  FROM tf JOIN qt ON tf.term = qt.qterm
+),
+cand AS (SELECT DISTINCT query_id, doc_id FROM m),
+nq AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id),
+ad AS (
+  SELECT c.query_id, avg(dl.dl) AS avgdl
+  FROM cand c JOIN dl ON c.doc_id = dl.doc_id GROUP BY c.query_id
+),
+dfq AS (
+  SELECT query_id, qterm, count(DISTINCT doc_id) AS df
+  FROM m GROUP BY query_id, qterm
+),
+scored AS (
+  SELECT m.query_id, m.doc_id,
+    sum(
+      m.mult
+      * ln((nq.n_cand - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+      * (m.tf * ({K1} + 1))
+      / (m.tf + {K1} * (1 - {B} + {B} * dl.dl / ad.avgdl))
+    ) AS score
+  FROM m
+  JOIN dfq ON m.query_id = dfq.query_id AND m.qterm = dfq.qterm
+  JOIN nq ON m.query_id = nq.query_id
+  JOIN ad ON m.query_id = ad.query_id
+  JOIN dl ON m.doc_id = dl.doc_id
+  GROUP BY m.query_id, m.doc_id
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM (
+  SELECT query_id, doc_id, score,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC
+    ) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+# ------------------------------------------------------------------ tf-idf
+
+def _tfidf(spark: SparkSession, sf_dir: str, cosine: bool) -> DataFrame:
+    """ltn-lnn (cosine=False) / ltc-lnc (cosine=True) top-10.
+
+    Doc weight (1+ln tf)·ln(N/df) with N = FULL corpus size (quirk Q1 —
+    `common.py:66-69`); query weight (1+ln qtf), cosine-normalized for
+    *-lnc over the query vector and over the doc's MATCHED terms
+    (`common.py:15-16,26-56`).
+    """
+    docs = load_documents(spark, sf_dir)
+    n_docs = docs.count()  # tiny scalar; at 10^12 rows read from stats table
+    t = tokens_view(docs)
+    stop = stop_terms_df(t, STOP_K).select("term")
+    ns = t.join(F.broadcast(stop), "term", "left_anti")
+    tf = ns.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    tdf = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    qt = _qterms(spark).withColumn("q_w", 1.0 + F.log("mult"))
+    if cosine:
+        wq = Window.partitionBy("query_id")
+        qt = qt.withColumn(
+            "q_w", F.col("q_w") / F.sqrt(F.sum(F.col("q_w") ** 2).over(wq))
+        )
+    m = (
+        tf.join(F.broadcast(qt), tf.term == qt.qterm)
+        .join(F.broadcast(tdf), "term")
+        .withColumn("d_w", (1.0 + F.log("tf")) * F.log(F.lit(float(n_docs)) / F.col("df")))
+    )
+    if cosine:
+        wd = Window.partitionBy("query_id", "doc_id")
+        m = m.withColumn("d_w", F.col("d_w") / F.sqrt(F.sum(F.col("d_w") ** 2).over(wd)))
+    scored = m.groupBy("query_id", "doc_id").agg(
+        F.sum(F.col("q_w") * F.col("d_w")).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 9)), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )
+
+
+def q_tfidf_ltn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tfidf(spark, sf_dir, cosine=False)
+
+
+def q_tfidf_ltc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tfidf(spark, sf_dir, cosine=True)
+
+
+def _sql_tfidf(cosine: bool) -> str:
+    qw = "1.0 + ln(mult)"
+    qnorm = (
+        "/ sqrt(sum(power(1.0 + ln(mult), 2)) OVER (PARTITION BY query_id))"
+        if cosine
+        else ""
+    )
+    dnorm = (
+        "d_w_raw / sqrt(sum(power(d_w_raw, 2)) OVER (PARTITION BY query_id, doc_id))"
+        if cosine
+        else "d_w_raw"
+    )
+    return f"""
+WITH toks AS ({SQL_TOKENS}),
+stop AS ({sql_stop(STOP_K)}),
+ns AS (SELECT * FROM toks WHERE term NOT IN (SELECT term FROM stop)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ns GROUP BY doc_id, term),
+tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+qt0 AS ({SQL_QTERMS}),
+qt AS (SELECT query_id, qterm, ({qw}) {qnorm} AS q_w FROM qt0),
+m AS (
+  SELECT qt.query_id, tf.doc_id, qt.q_w,
+         (1.0 + ln(tf.tf)) * ln(nd.n_docs::DOUBLE / tdf.df) AS d_w_raw
+  FROM tf
+  JOIN qt ON tf.term = qt.qterm
+  JOIN tdf ON tf.term = tdf.term
+  CROSS JOIN nd
+),
+m2 AS (
+  SELECT query_id, doc_id, q_w, {dnorm} AS d_w FROM m
+),
+scored AS (
+  SELECT query_id, doc_id, sum(q_w * d_w) AS score
+  FROM m2 GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, round(score, 6) AS score_r
+FROM (
+  SELECT query_id, doc_id, score,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY round(score, 9) DESC, doc_id ASC
+    ) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+SQL_TFIDF_LTN = _sql_tfidf(cosine=False)
+SQL_TFIDF_LTC = _sql_tfidf(cosine=True)
+
+
+# ------------------------------------------------------------ bigram index
+
+def q_bigram_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spell-correction bigram dictionary (A6, `bigram_index/phase1.py:45-59`):
+    char-2-grams over '#'||word||'#' of every DISTINCT term, with the
+    bigram's multiplicity inside the word. All JVM-side: sequence +
+    transform + explode (no UDF)."""
+    t = tokens_view(load_documents(spark, sf_dir))
+    vocab = t.select("term").distinct().withColumn(
+        "padded", F.concat(F.lit("#"), F.col("term"), F.lit("#"))
+    )
+    bgs = vocab.select(
+        F.col("term").alias("word"),
+        F.explode(
+            F.expr("transform(sequence(1, length(padded) - 1), i -> substring(padded, i, 2))")
+        ).alias("bigram"),
+    )
+    return bgs.groupBy("bigram", "word").agg(F.count("*").alias("cnt"))
+
+
+SQL_BIGRAM_INDEX = f"""
+WITH vocab AS (SELECT DISTINCT term FROM ({SQL_TOKENS})),
+padded AS (SELECT term AS word, '#' || term || '#' AS p FROM vocab),
+bgs AS (
+  SELECT word, substring(p, i, 2) AS bigram
+  FROM padded, unnest(generate_series(1, length(p) - 1)) AS t(i)
+)
+SELECT bigram, word, count(*) AS cnt FROM bgs GROUP BY bigram, word
+"""

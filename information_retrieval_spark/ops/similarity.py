@@ -1,0 +1,235 @@
+"""Similarity search over the ``embeddings`` table (vec_id, embedding[64],
+label).
+
+* **brute-force cosine top-k** — the exactness baseline: query set broadcast
+  against all vectors, dot product via ``zip_with``/``aggregate`` in JVM
+  expressions (double accumulation, index order — bit-reproducible in
+  DuckDB's ``list_dot_product`` over DOUBLE lists).
+* **LSH-bucketed ANN** — sign-random-projection (SRP) bucketing: SRP_BITS
+  deterministic pseudo-random hyperplanes (portable md5-based coefficients)
+  → SRP_BITS-bit bucket id; neighbor candidates share a bucket with the query
+  (multi-probe: exact bucket + Hamming-1 probes). Recall measured against
+  the brute-force baseline in tests.
+
+Scale notes (10^9+ vectors): brute force is one broadcast-join scan — right
+for reranking a candidate set, wrong as the global path; SRP bucketing keys
+the shuffle on (bucket) so each query probes ~n/2^SRP_BITS of the corpus. An IVF
+variant is the same plan with k-means centroids as the bucketer.
+
+Reference analogue: embedding kNN / similar-docs (G6,
+`ui/backend/mir/clustering/similar.py:6-30` — L2 there, cosine here as the
+modern default; both exposed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from information_retrieval_spark.ops.common import portable_hash32, sql_hash32
+
+TOP_K = 10
+N_QUERY_VECS = 5  # vec_id < 5 are the query set
+SRP_BITS = 6  # 2^6 buckets; sized so small-SF tests retrieve candidates
+DIM = 64
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot(a, b):
+    """Σ a_i·b_i in index order, double accumulation (JVM, no UDF)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, vec_id, sim_r): brute-force cosine top-10 for the
+    5-query set. Ties pinned to (-round(sim,9), vec_id)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
+    sim = _dot(F.col("qv"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = pairs.select("query_id", "vec_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {N_QUERY_VECS}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rank, vec_id, round(sim, 6) AS sim_r
+FROM (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id ASC
+    ) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+
+
+# ------------------------------------------------------- SRP bucketed ANN
+
+def _srp_planes(spark: SparkSession) -> DataFrame:
+    """(bit, dim, coef): deterministic pseudo-random hyperplane coefficients
+    in [-1, 1), coef = portable_hash32('p<bit>d<dim>') / 2^31 − 1. Identical
+    in the DuckDB twin — bucketing is bit-reproducible across engines."""
+    b = spark.range(SRP_BITS).select(F.col("id").cast("int").alias("bit"))
+    d = spark.range(DIM).select(F.col("id").cast("int").alias("dim"))
+    return (
+        b.crossJoin(d)
+        .withColumn(
+            "coef",
+            portable_hash32(
+                F.format_string("p%dd%d", "bit", "dim")
+            ) / F.lit(float(1 << 31)) - 1.0,
+        )
+    )
+
+
+def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket): SRP_BITS-bit sign-random-projection bucket per vector.
+    explode(embedding) ⨝broadcast planes → per-(vec,bit) dot sign →
+    bit-pack. Shuffle grain: (vec_id, bit) then (vec_id)."""
+    e = _emb(spark, sf_dir)
+    comp = e.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    planes = _srp_planes(spark)
+    proj = (
+        comp.join(F.broadcast(planes), "dim")
+        .groupBy("vec_id", "bit")
+        .agg(F.sum(F.col("x") * F.col("coef")).alias("p"))
+    )
+    return (
+        proj.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("p") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                ).otherwise(0)
+            ).alias("bucket")
+        )
+    )
+
+
+SQL_SRP_BUCKETS = f"""
+WITH planes AS (
+  SELECT b.bit, d.dim,
+         {sql_hash32("format('p{{}}d{{}}', b.bit, d.dim)".replace('{{}}','{}'))} / {float(1 << 31)} - 1.0 AS coef
+  FROM (SELECT unnest(generate_series(0, {SRP_BITS - 1})) AS bit) b
+  CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS dim) d
+),
+comp AS (
+  SELECT vec_id, (i - 1) AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+),
+proj AS (
+  SELECT c.vec_id, p.bit, sum(c.x * p.coef) AS p
+  FROM comp c JOIN planes p ON c.dim = p.dim
+  GROUP BY c.vec_id, p.bit
+)
+SELECT vec_id,
+       sum(CASE WHEN p > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
+FROM proj GROUP BY vec_id
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, vec_id, sim_r): ANN top-k restricted to candidates
+    whose SRP bucket is within Hamming distance 1 of the query's bucket
+    (multi-probe LSH). The candidate join keys on bucket — per-query work is
+    ~((SRP_BITS+1)/2^SRP_BITS) of the corpus instead of a full scan."""
+    e = _emb(spark, sf_dir)
+    buckets = q_srp_buckets(spark, sf_dir)
+    eb = e.join(buckets, "vec_id")
+    q = eb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    # multi-probe: exact bucket + flip each of the SRP_BITS bits
+    probes = q.select(
+        "query_id",
+        "qv",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(SRP_BITS)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = eb.join(F.broadcast(probes), "bucket").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    sim = _dot(F.col("qv"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = cand.select("query_id", "vec_id", sim.alias("sim")).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+SQL_ANN_LSH_TOPK = f"""
+WITH buckets AS ({SQL_SRP_BUCKETS}),
+e AS (SELECT em.vec_id, em.embedding::DOUBLE[] AS v, b.bucket
+      FROM embeddings em JOIN buckets b ON em.vec_id = b.vec_id),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM e WHERE vec_id < {N_QUERY_VECS}),
+probes AS (
+  SELECT query_id, qv,
+         CASE WHEN f.bit = -1 THEN qbucket
+              ELSE xor(qbucket, (1::BIGINT << f.bit)) END AS bucket
+  FROM q, (SELECT unnest(generate_series(-1, {SRP_BITS - 1})) AS bit) f
+),
+scored AS (
+  SELECT DISTINCT p.query_id, e.vec_id,
+         list_dot_product(p.qv, e.v)
+           / (sqrt(list_dot_product(p.qv, p.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM e JOIN probes p ON e.bucket = p.bucket
+  WHERE e.vec_id <> p.query_id
+)
+SELECT query_id, rank, vec_id, round(sim, 6) AS sim_r
+FROM (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id ASC
+    ) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
