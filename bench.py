@@ -1,0 +1,125 @@
+"""Round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": <sf>, "extras": {...}}
+
+Sections:
+* battery — the driver-verified operator plans (ops/*) executed to
+  completion (collect of the final small result).
+* engine — the persisted-index path (north rule): index build over the
+  synthetic code corpus (files/sec) and batched BM25 top-10 latency over
+  the 50-query reference set (p50 per query batch).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced separately
+by scripts/bench_scaling.py → BENCH/BASELINE.md (a SparkSession's master
+can't change mid-process).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from information_retrieval_spark.session import get_spark
+    from information_retrieval_spark.ops import (
+        dedup,
+        graph,
+        ir_direct,
+        similarity,
+        textstats,
+    )
+
+    spark = get_spark("bench", master=f"local[{cpus}]")
+
+    timings: dict[str, float] = {}
+
+    def run(name: str, fn) -> None:
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # warm the JVM + parquet footers so q1 doesn't pay session startup
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    battery = {
+        "bm25_topk": ir_direct.q_bm25_topk,
+        "tfidf_ltc": ir_direct.q_tfidf_ltc,
+        "bigram_index": ir_direct.q_bigram_index,
+        "token_count": textstats.q_token_count,
+        "quality": textstats.q_quality,
+        "minhash_pairs": dedup.q_minhash_pairs,
+        "simhash": dedup.q_simhash,
+        "jaccard_pairs": dedup.q_jaccard_pairs,
+        "cosine_topk": similarity.q_cosine_topk,
+        "ann_lsh_topk": similarity.q_ann_lsh_topk,
+        "pagerank": graph.q_pagerank,
+    }
+    for name, q in battery.items():
+        run(name, lambda q=q: q(spark, sf_dir).collect())
+
+    # ---- engine path: index build throughput + BM25 query p50 ------------
+    from information_retrieval_spark.index.build import IndexBuilder
+    from information_retrieval_spark.query.engine import QuerySpec, SearchEngine
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_files = docs.count()
+    idx_dir = tempfile.mkdtemp(prefix="bench_idx_")
+    try:
+        t0 = time.time()
+        IndexBuilder(
+            spark, idx_dir, sections={"body": "text"}, tokenizer="simple"
+        ).build(docs)
+        build_s = time.time() - t0
+        timings["index_build"] = round(build_s, 3)
+
+        eng = SearchEngine(spark, idx_dir)
+        qspecs = [
+            QuerySpec(i, text, "okapi25", 10, spell=False, match_mode="exact")
+            for i, text in ir_direct.QUERY_SET
+        ]
+        lat = []
+        for rep in range(5):
+            t0 = time.time()
+            eng.search(qspecs).collect()
+            lat.append(time.time() - t0)
+        lat.sort()
+        timings["bm25_engine_batch"] = round(lat[len(lat) // 2], 3)
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline operator battery + index build + BM25 batch (sec)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extras": {
+            "index_build_files_per_sec": round(n_files / build_s, 1),
+            "bm25_batch_p50_sec": timings["bm25_engine_batch"],
+            "bm25_per_query_p50_sec": round(
+                timings["bm25_engine_batch"] / len(qspecs), 4
+            ),
+            "cpus": cpus,
+            "n_files": n_files,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
