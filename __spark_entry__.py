@@ -19,7 +19,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from information_retrieval_spark.ops import dedup, graph, ir_direct, similarity, textstats
+from information_retrieval_spark.ops import (
+    dedup,
+    engine_entry,
+    graph,
+    ir_direct,
+    similarity,
+    textstats,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -42,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_ltn": ir_direct.q_tfidf_ltn,           # F6/F9
         "tfidf_ltc": ir_direct.q_tfidf_ltc,           # F6/F7/F9
         "bigram_index": ir_direct.q_bigram_index,     # A6/F3
+        "wand_topk": engine_entry.q_wand_topk,        # M2+M5 packed index + WAND
+        "spell_correct": engine_entry.q_spell_correct, # F3-F5 + Q7
         # --- text analysis -------------------------------------------------
         "token_count": textstats.q_token_count,
         "quality": textstats.q_quality,
@@ -76,6 +85,10 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_ltn": ir_direct.SQL_TFIDF_LTN,
         "tfidf_ltc": ir_direct.SQL_TFIDF_LTC,
         "bigram_index": ir_direct.SQL_BIGRAM_INDEX,
+        # WAND over the packed binary index must equal the declarative BM25
+        # plan — same logical query, different physical strategy:
+        "wand_topk": ir_direct.SQL_BM25_TOPK,
+        "spell_correct": engine_entry.SQL_SPELL_CORRECT,
         "token_count": textstats.SQL_TOKEN_COUNT,
         "quality": textstats.SQL_QUALITY,
         "langid": textstats.SQL_LANGID,

@@ -296,6 +296,16 @@ class IndexBuilder:
 
         stage("lineage", s_lineage)
 
+        # stage 8: packed block-max shards (delta-gap + varint, per-block
+        # max_tf/min_dl — the north_star layout; index/pack.py)
+        def s_packed():
+            from information_retrieval_spark.index.pack import pack_index
+
+            pack_index(self.spark, self.index_dir)
+            return {}
+
+        stage("packed", s_packed)
+
         self._commit_stage(
             "ALL", {"wall_s": round(time.time() - t0, 3)}
         )

@@ -1,0 +1,82 @@
+"""Delta-gap + varint posting codec, numpy-vectorized (no per-value Python
+in the hot path).
+
+Logical content matches the reference's variable-byte index format
+(`ir-phase-1.ipynb:c25:63-99` encode, `c26:61-69` decode): 7-bit groups,
+little-endian within a value, high bit = continuation. Deviation from the
+reference (documented in SURVEY.md §2.11 Q9): the reference's vb writer
+stores RAW positions while its γ writer gap-encodes; we always delta-gap
+doc_ids (north_star: "delta-gap + varint") — same information, smaller.
+
+Encoding layout used by ``index/pack.py`` per block:
+  docs_bin = varint(doc_id[0], doc_id[1]-doc_id[0], ...)   (strictly ↑)
+  tfs_bin  = varint(tf[0], tf[1], ...)                      (raw)
+
+Both directions are O(total_bytes) numpy: encode scatters each value's k-th
+7-bit group with one vectorized step per byte-width level; decode segments
+the byte stream by continuation bits and folds groups with
+``np.add.reduceat``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array as concatenated LEB128 varints."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    # bytes needed per value: 1 + floor(bit_length-1 / 7)
+    bits = np.zeros(v.shape, dtype=np.int64)
+    tmp = v.copy()
+    while True:
+        nz = tmp > 0
+        if not nz.any():
+            break
+        bits[nz] += 1
+        tmp = tmp >> np.uint64(1)
+    nbytes = np.maximum((bits + 6) // 7, 1)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
+    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+    max_b = int(nbytes.max())
+    for k in range(max_b):
+        sel = nbytes > k
+        byte = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
+        cont = (nbytes[sel] - 1 > k).astype(np.uint8) << 7
+        out[offsets[sel] + k] = byte.astype(np.uint8) | cont
+    return out.tobytes()
+
+
+def varint_decode(buf: bytes) -> np.ndarray:
+    """Decode concatenated LEB128 varints → uint64 array."""
+    b = np.frombuffer(buf, dtype=np.uint8)
+    if b.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    ends = (b & 0x80) == 0          # terminal byte of each value
+    starts = np.empty_like(ends)
+    starts[0] = True
+    starts[1:] = ends[:-1]
+    start_idx = np.flatnonzero(starts)
+    pos_in_group = np.arange(b.size) - np.repeat(
+        start_idx, np.diff(np.append(start_idx, b.size))
+    )
+    contrib = (b & 0x7F).astype(np.uint64) << (7 * pos_in_group).astype(np.uint64)
+    return np.add.reduceat(contrib, start_idx)
+
+
+def encode_doc_gaps(doc_ids: np.ndarray) -> bytes:
+    """Strictly-increasing doc_ids → delta-gap varint block."""
+    d = np.asarray(doc_ids, dtype=np.uint64)
+    if d.size == 0:
+        return b""
+    gaps = np.empty_like(d)
+    gaps[0] = d[0]
+    gaps[1:] = d[1:] - d[:-1]
+    return varint_encode(gaps)
+
+
+def decode_doc_gaps(buf: bytes) -> np.ndarray:
+    gaps = varint_decode(buf)
+    return np.cumsum(gaps, dtype=np.uint64)

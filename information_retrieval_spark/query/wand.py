@@ -1,0 +1,341 @@
+"""Block-max WAND top-k over the packed compressed index (north_star
+query path).
+
+Physical shape (SURVEY.md §3.1 redesign): the tiny query-term list prunes
+the packed shard scan (parquet row-group min/max on the term-sorted layout),
+a light stats pre-pass decodes doc_ids only to materialize the per-query
+candidate statistics the reference's BM25 quirks require (Q1 N = |candidate
+set|, Q2 candidate-set avgdl), and the scoring pass runs classic WAND with
+block-granular skipping inside ``applyInPandas`` per doc-hash bucket —
+per-shard top-k, then one global window for the final k (SURVEY.md §7 M5).
+
+Correctness stance: WAND is an EXACT top-k algorithm — results are
+rank-identical to the exhaustive scorer (`query/engine.py`), which tests
+assert; skipping only prunes work. Because a doc's bucket is a pure
+function of doc_id, every posting of a doc lands in one bucket: bucket-local
+scoring is complete, and per-bucket top-k ∪ global re-rank is exact.
+
+Skipping levels:
+* pivot selection uses per-(term,section) global upper bounds
+  (max over blocks of ub(max_tf, min_dl)) — classic WAND;
+* advancing a cursor to the pivot skips whole blocks on (last_doc < pivot)
+  WITHOUT decoding them — the block-max/delta-gap layout's payoff;
+* per-query idf and avgdl enter the bounds at query time (the blocks store
+  tf-side components only — SURVEY.md §7 hard-part b).
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
+
+from information_retrieval_spark.index.codec import decode_doc_gaps, varint_decode
+from information_retrieval_spark.query.engine import K1, B, QuerySpec
+from information_retrieval_spark.tokenize import code_terms, simple_tokens
+
+_DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("section", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+    ]
+)
+
+_TOPK_SCHEMA = T.StructType(
+    [
+        T.StructField("query_id", T.LongType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("score", T.DoubleType(), False),
+    ]
+)
+
+
+def _tf_norm(tf: float, dl: float, avgdl: float) -> float:
+    return tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+
+
+class _List:
+    """Cursor over one (term, section) posting run within a bucket."""
+
+    __slots__ = ("blocks", "bi", "off", "docs", "tfs", "dls", "weight", "avgdl", "ub")
+
+    def __init__(self, blocks: list, weight: float, avgdl: float):
+        # blocks: list of (first_doc, last_doc, docs_bin, tfs_bin, dls_bin,
+        #                  max_tf, min_dl) sorted by block_id
+        self.blocks = blocks
+        self.bi = 0
+        self.off = 0
+        self.docs = None  # decoded lazily
+        self.tfs = None
+        self.dls = None
+        self.weight = weight  # mult * idf * section_weight
+        self.avgdl = avgdl
+        self.ub = weight * max(
+            _tf_norm(b[5], b[6], avgdl) for b in blocks
+        )
+
+    def exhausted(self) -> bool:
+        return self.bi >= len(self.blocks)
+
+    def cur_doc(self) -> int:
+        if self.docs is None:
+            return self.blocks[self.bi][0]  # first_doc — exact, no decode
+        return int(self.docs[self.off])
+
+    def _decode(self) -> None:
+        b = self.blocks[self.bi]
+        self.docs = decode_doc_gaps(b[2])
+        self.tfs = varint_decode(b[3])
+        self.dls = varint_decode(b[4])
+
+    def contribution(self) -> float:
+        if self.docs is None:
+            self._decode()
+        tf = float(self.tfs[self.off])
+        dl = float(self.dls[self.off])
+        return self.weight * _tf_norm(tf, dl, self.avgdl)
+
+    def advance(self) -> None:
+        """Next posting."""
+        if self.docs is None:
+            self._decode()
+        self.off += 1
+        if self.off >= len(self.docs):
+            self.bi += 1
+            self.off = 0
+            self.docs = self.tfs = self.dls = None
+
+    def seek(self, target: int) -> None:
+        """Advance to first doc ≥ target, skipping blocks undecoded."""
+        while not self.exhausted() and self.blocks[self.bi][1] < target:
+            self.bi += 1
+            self.off = 0
+            self.docs = self.tfs = self.dls = None
+        if self.exhausted():
+            return
+        if self.docs is None:
+            if self.blocks[self.bi][0] >= target:
+                return  # first_doc already ≥ target; stay undecoded
+            self._decode()
+        j = int(np.searchsorted(self.docs[self.off :], target)) + self.off
+        if j >= len(self.docs):
+            self.bi += 1
+            self.off = 0
+            self.docs = self.tfs = self.dls = None
+            self.seek(target)
+        else:
+            self.off = j
+
+
+def _wand_query(lists: list[_List], k: int) -> list[tuple[int, float]]:
+    """Exact top-k (doc_id, score) under ordering (-score, doc_id)."""
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    lists = [L for L in lists if not L.exhausted()]
+    while True:
+        lists = [L for L in lists if not L.exhausted()]
+        if not lists:
+            break
+        lists.sort(key=lambda L: L.cur_doc())
+        theta = heap[0][0] if len(heap) >= k else float("-inf")
+        acc = 0.0
+        pivot_idx = None
+        for i, L in enumerate(lists):
+            acc += L.ub
+            # ≥ θ − ε: a doc scoring EXACTLY θ can still win its tie on
+            # doc_id under the (-score, doc_id) ordering — don't skip it
+            if acc >= theta - 1e-12:
+                pivot_idx = i
+                break
+        if pivot_idx is None:
+            break  # Σ ub < θ: no remaining doc can enter the top-k
+        pivot = lists[pivot_idx].cur_doc()
+        if lists[0].cur_doc() == pivot:
+            score = 0.0
+            for L in lists:
+                if not L.exhausted() and L.cur_doc() == pivot:
+                    score += L.contribution()
+            for L in lists:
+                if not L.exhausted() and L.cur_doc() == pivot:
+                    L.advance()
+            item = (score, -pivot)
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+        else:
+            # advance the laggard(s) to the pivot, skipping blocks
+            lists[0].seek(pivot)
+    return [(-nd, s) for s, nd in heap]
+
+
+class WandEngine:
+    """BM25 top-k via block-max WAND over ``<index_dir>/packed``."""
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.packed = spark.read.parquet(os.path.join(index_dir, "packed"))
+        self.doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
+        self.term_df = spark.read.parquet(os.path.join(index_dir, "term_df"))
+        stop = spark.read.parquet(os.path.join(index_dir, "stopwords"))
+        self.stop_terms = {r.term for r in stop.collect()}
+        with open(os.path.join(index_dir, "manifest.json")) as f:
+            self.config = json.load(f)["config"]
+        self.sections = list(self.config["sections"].keys())
+        self.tokenizer = self.config["tokenizer"]
+
+    # ------------------------------------------------------------- helpers
+
+    def _tokenize(self, text: str) -> list[str]:
+        toks = code_terms(text) if self.tokenizer == "code" else simple_tokens(text)
+        return [t for t in toks if t not in self.stop_terms]
+
+    def _weights(self, q: QuerySpec) -> dict[str, float]:
+        if q.section_weights:
+            return q.section_weights
+        if set(self.sections) == {"title", "abstract"}:
+            return {"abstract": 0.2, "title": 0.8}
+        return {self.sections[0]: 1.0}
+
+    # ---------------------------------------------------------------- main
+
+    def search(self, queries: list[QuerySpec]) -> DataFrame:
+        """(query_id, rank, doc_id, score) — rank-identical to the
+        exhaustive engine (match_mode='exact', okapi25)."""
+        qtoks: dict[int, dict[str, int]] = {}
+        for q in queries:
+            toks = self._tokenize(q.text)
+            mult: dict[str, int] = {}
+            for t in toks:
+                mult[t] = mult.get(t, 0) + 1
+            qtoks[q.query_id] = mult
+        all_terms = sorted({t for m in qtoks.values() for t in m})
+        if not all_terms:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+
+        shard = self.packed.filter(F.col("term").isin(all_terms)).cache()
+
+        # --- stats pre-pass: decode doc_ids only (Q1 n_cand, Q2 avgdl) ----
+        def decode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                outs = []
+                for r in pdf.itertuples(index=False):
+                    docs = decode_doc_gaps(r.docs_bin).astype(np.int64)
+                    outs.append(
+                        pd.DataFrame(
+                            {"term": r.term, "section": r.section, "doc_id": docs}
+                        )
+                    )
+                if outs:
+                    yield pd.concat(outs)
+                else:
+                    yield pd.DataFrame(
+                        {
+                            "term": pd.Series([], dtype=object),
+                            "section": pd.Series([], dtype=object),
+                            "doc_id": pd.Series([], dtype="int64"),
+                        }
+                    )
+
+        matched = shard.select(
+            "term", "section", "docs_bin"
+        ).mapInPandas(decode_docs, _DOCS_SCHEMA)
+        qt_rows = [
+            (qid, t) for qid, m in qtoks.items() for t in m
+        ]
+        qt = self.spark.createDataFrame(qt_rows, "query_id long, qterm string")
+        cand = (
+            matched.join(F.broadcast(qt), matched.term == qt.qterm)
+            .select("query_id", "doc_id")
+            .distinct()
+        )
+        sec = self.spark.createDataFrame(
+            [(s,) for s in self.sections], ["section"]
+        )
+        stats = (
+            cand.crossJoin(F.broadcast(sec))
+            .join(self.doclen, ["doc_id", "section"], "left")
+            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+            .groupBy("query_id", "section")
+            .agg(F.avg("dl").alias("avgdl"), F.countDistinct("doc_id").alias("n_cand"))
+            .collect()
+        )
+        avgdl = {(r.query_id, r.section): r.avgdl for r in stats}
+        n_cand = {r.query_id: r.n_cand for r in stats}
+        dfs = {
+            r.term: r.df
+            for r in self.term_df.filter(F.col("term").isin(all_terms)).collect()
+        }
+
+        # --- per-query scoring-term meta (weight = mult · idf · w_s) ------
+        qmeta: dict[int, dict] = {}
+        for q in queries:
+            terms = {}
+            nq = n_cand.get(q.query_id, 0)
+            for t, mult in qtoks[q.query_id].items():
+                df = dfs.get(t)
+                if df is None or nq == 0:
+                    continue
+                idf = float(np.log((nq - df + 0.5) / (df + 0.5) + 1.0))
+                for s, w in self._weights(q).items():
+                    a = avgdl.get((q.query_id, s))
+                    if a is None or a == 0:
+                        continue
+                    terms[(t, s)] = {"weight": mult * idf * w, "avgdl": a}
+            qmeta[q.query_id] = {"terms": terms, "k": q.k}
+
+        sections = self.sections
+
+        # --- WAND pass per bucket -----------------------------------------
+        def wand_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_ts: dict[tuple[str, str], list] = {}
+            pdf = pdf.sort_values(["term", "section", "block_id"])
+            for r in pdf.itertuples(index=False):
+                by_ts.setdefault((r.term, r.section), []).append(
+                    (r.first_doc, r.last_doc, r.docs_bin, r.tfs_bin,
+                     r.dls_bin, r.max_tf, r.min_dl)
+                )
+            out_q, out_d, out_s = [], [], []
+            for qid, meta in qmeta.items():
+                lists = [
+                    _List(by_ts[ts], m["weight"], m["avgdl"])
+                    for ts, m in meta["terms"].items()
+                    if ts in by_ts
+                ]
+                if not lists:
+                    continue
+                k = meta["k"] if meta["k"] > 0 else 1 << 30
+                for doc, score in _wand_query(lists, k):
+                    out_q.append(qid)
+                    out_d.append(doc)
+                    out_s.append(score)
+            return pd.DataFrame(
+                {"query_id": out_q, "doc_id": out_d, "score": out_s}
+            )
+
+        per_bucket = shard.groupBy("bucket").applyInPandas(
+            wand_bucket, _TOPK_SCHEMA
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(F.round("score", 9)), F.asc("doc_id")
+        )
+        ks = self.spark.createDataFrame(
+            [(q.query_id, q.k) for q in queries], "query_id long, k int"
+        )
+        out = (
+            per_bucket.withColumn("rank", F.row_number().over(w))
+            .join(F.broadcast(ks), "query_id")
+            .filter((F.col("rank") <= F.col("k")) | (F.col("k") < 0))
+            .select("query_id", "rank", "doc_id", "score")
+        )
+        result = out.localCheckpoint()  # materialize before unpersist
+        shard.unpersist()
+        return result

@@ -1,0 +1,80 @@
+"""Block-max WAND == exhaustive BM25 (rank-identical), SURVEY.md §7 M5.
+
+The WAND path must agree with the exhaustive scorer (`query/engine.py`,
+itself oracle-checked in test_rank_identity.py) on the full reference query
+set — scores to 1e-9 after rounding, ranks exactly.
+"""
+
+import pytest
+
+from information_retrieval_spark.fixtures import make_queries
+from information_retrieval_spark.query.engine import QuerySpec, SearchEngine
+
+
+@pytest.fixture(scope="module")
+def wand(spark, index_dir):
+    from information_retrieval_spark.query.wand import WandEngine
+
+    return WandEngine(spark, index_dir)
+
+
+@pytest.fixture(scope="module")
+def exhaustive(spark, index_dir):
+    return SearchEngine(spark, index_dir)
+
+
+def _rows(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, []).append(
+            (r.rank, r.doc_id, round(r.score, 6))
+        )
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def test_wand_matches_exhaustive_on_query_set(wand, exhaustive):
+    specs = [
+        QuerySpec(q.query_id, q.query_text, "okapi25", 10,
+                  spell=False, match_mode="exact")
+        for q in make_queries(30)
+        if q.method == "okapi25"
+    ]
+    got = _rows(wand.search(specs))
+    want = _rows(exhaustive.search(specs))
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for qid in want:
+        assert got[qid] == want[qid], f"query {qid}: {got[qid]} != {want[qid]}"
+
+
+def test_wand_k_all(wand, exhaustive):
+    spec = [QuerySpec(900, "tokenizer stream buffer", "okapi25", -1,
+                      spell=False, match_mode="exact")]
+    got = _rows(wand.search(spec))
+    want = _rows(exhaustive.search(spec))
+    assert got == want
+
+
+def test_wand_absent_term_only(wand):
+    spec = [QuerySpec(901, "zzzneverseen", "okapi25", 10,
+                      spell=False, match_mode="exact")]
+    assert wand.search(spec).count() == 0
+
+
+def test_packed_df_matches_term_df(spark, index_dir):
+    """Σ block n per (term, ANY section) distinct-doc count == term_df —
+    the no-decode df shortcut WAND's idf relies on (single-section terms)."""
+    import pyspark.sql.functions as F
+
+    from information_retrieval_spark.index.pack import packed_stats
+
+    ps = packed_stats(spark, index_dir)
+    # per-section df sums to flat postings rows per section
+    flat = spark.read.parquet(f"{index_dir}/postings_flat")
+    flat_df = flat.groupBy("term", "section").agg(F.count("*").alias("rows"))
+    joined = ps.join(flat_df, ["term", "section"], "full")
+    bad = joined.filter(
+        F.coalesce("df_sec", F.lit(-1)) != F.coalesce("rows", F.lit(-2))
+    ).count()
+    assert bad == 0
