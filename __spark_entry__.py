@@ -24,6 +24,8 @@ from information_retrieval_spark.ops import (
     engine_entry,
     graph,
     ir_direct,
+    metrics,
+    multimodal,
     similarity,
     textstats,
 )
@@ -66,6 +68,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.q_cosine_topk,
         "srp_buckets": similarity.q_srp_buckets,
         "ann_lsh_topk": similarity.q_ann_lsh_topk,
+        # --- IR evaluation + multimodal plumbing ---------------------------
+        "eval_metrics": metrics.q_eval_metrics,       # A10/A11
+        "media_features": multimodal.q_media_features, # binary cols (rows-only)
         # --- graph scoring -------------------------------------------------
         "pagerank": graph.q_pagerank,                 # G1 (fixed iters)
         "hits": graph.q_hits,                         # G2 (rows-only check)
@@ -101,6 +106,8 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.SQL_COSINE_TOPK,
         "srp_buckets": similarity.SQL_SRP_BUCKETS,
         "ann_lsh_topk": similarity.SQL_ANN_LSH_TOPK,
+        "eval_metrics": metrics.SQL_EVAL_METRICS,
+        # "media_features": omitted (binary payload + stub decode UDF)
         "pagerank": graph.SQL_PAGERANK,
         # "hits": intentionally omitted (iterative global L2 normalization;
         # rows-only check — pytest covers value correctness)
