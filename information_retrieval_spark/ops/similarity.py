@@ -93,27 +93,34 @@ WHERE rank <= {TOP_K}
 
 # ------------------------------------------------------- SRP bucketed ANN
 
+N_TABLES = 4  # independent LSH tables; recall ≈ 1 − (1 − p)^L
+
+
 def _srp_planes(spark: SparkSession) -> DataFrame:
-    """(bit, dim, coef): deterministic pseudo-random hyperplane coefficients
-    in [-1, 1), coef = portable_hash32('p<bit>d<dim>') / 2^31 − 1. Identical
-    in the DuckDB twin — bucketing is bit-reproducible across engines."""
+    """(tbl, bit, dim, coef): deterministic pseudo-random hyperplane
+    coefficients in [-1, 1) for N_TABLES independent SRP tables,
+    coef = portable_hash32('t<tbl>p<bit>d<dim>') / 2^31 − 1. Identical in
+    the DuckDB twin — bucketing is bit-reproducible across engines."""
+    t = spark.range(N_TABLES).select(F.col("id").cast("int").alias("tbl"))
     b = spark.range(SRP_BITS).select(F.col("id").cast("int").alias("bit"))
     d = spark.range(DIM).select(F.col("id").cast("int").alias("dim"))
     return (
-        b.crossJoin(d)
+        t.crossJoin(b)
+        .crossJoin(d)
         .withColumn(
             "coef",
             portable_hash32(
-                F.format_string("p%dd%d", "bit", "dim")
+                F.format_string("t%dp%dd%d", "tbl", "bit", "dim")
             ) / F.lit(float(1 << 31)) - 1.0,
         )
     )
 
 
 def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, bucket): SRP_BITS-bit sign-random-projection bucket per vector.
-    explode(embedding) ⨝broadcast planes → per-(vec,bit) dot sign →
-    bit-pack. Shuffle grain: (vec_id, bit) then (vec_id)."""
+    """(vec_id, tbl, bucket): SRP_BITS-bit sign-random-projection bucket per
+    vector per LSH table. explode(embedding) ⨝broadcast planes →
+    per-(vec,tbl,bit) dot sign → bit-pack. Shuffle grain: (vec_id, tbl,
+    bit) then (vec_id, tbl) — never wider than the signature itself."""
     e = _emb(spark, sf_dir)
     comp = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
@@ -121,11 +128,11 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = _srp_planes(spark)
     proj = (
         comp.join(F.broadcast(planes), "dim")
-        .groupBy("vec_id", "bit")
+        .groupBy("vec_id", "tbl", "bit")
         .agg(F.sum(F.col("x") * F.col("coef")).alias("p"))
     )
     return (
-        proj.groupBy("vec_id")
+        proj.groupBy("vec_id", "tbl")
         .agg(
             F.sum(
                 F.when(
@@ -136,11 +143,14 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COEF = sql_hash32("format('t{}p{}d{}', t.tbl, b.bit, d.dim)".replace('{}', '\x7b\x7d'))
+
 SQL_SRP_BUCKETS = f"""
 WITH planes AS (
-  SELECT b.bit, d.dim,
-         {sql_hash32("format('p{{}}d{{}}', b.bit, d.dim)".replace('{{}}','{}'))} / {float(1 << 31)} - 1.0 AS coef
-  FROM (SELECT unnest(generate_series(0, {SRP_BITS - 1})) AS bit) b
+  SELECT t.tbl, b.bit, d.dim,
+         {_COEF} / {float(1 << 31)} - 1.0 AS coef
+  FROM (SELECT unnest(generate_series(0, {N_TABLES - 1})) AS tbl) t
+  CROSS JOIN (SELECT unnest(generate_series(0, {SRP_BITS - 1})) AS bit) b
   CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS dim) d
 ),
 comp AS (
@@ -148,33 +158,36 @@ comp AS (
   FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
 ),
 proj AS (
-  SELECT c.vec_id, p.bit, sum(c.x * p.coef) AS p
+  SELECT c.vec_id, p.tbl, p.bit, sum(c.x * p.coef) AS p
   FROM comp c JOIN planes p ON c.dim = p.dim
-  GROUP BY c.vec_id, p.bit
+  GROUP BY c.vec_id, p.tbl, p.bit
 )
-SELECT vec_id,
+SELECT vec_id, tbl,
        sum(CASE WHEN p > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
-FROM proj GROUP BY vec_id
+FROM proj GROUP BY vec_id, tbl
 """
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, rank, vec_id, sim_r): ANN top-k restricted to candidates
-    whose SRP bucket is within Hamming distance 1 of the query's bucket
-    (multi-probe LSH). The candidate join keys on bucket — per-query work is
-    ~((SRP_BITS+1)/2^SRP_BITS) of the corpus instead of a full scan."""
+    """(query_id, rank, vec_id, sim_r): ANN top-k over multi-table SRP LSH —
+    candidates share a bucket with the query in ANY of the N_TABLES tables
+    (exact bucket + Hamming-1 multi-probe per table). The candidate join
+    keys on (tbl, bucket): per-query work is
+    ~ L·(SRP_BITS+1)/2^SRP_BITS of the corpus instead of a full scan."""
     e = _emb(spark, sf_dir)
     buckets = q_srp_buckets(spark, sf_dir)
     eb = e.join(buckets, "vec_id")
     q = eb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("tbl"),
         F.col("bucket").alias("qbucket"),
     )
     # multi-probe: exact bucket + flip each of the SRP_BITS bits
     probes = q.select(
         "query_id",
         "qv",
+        "tbl",
         F.explode(
             F.array(
                 F.col("qbucket"),
@@ -185,7 +198,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
-    cand = eb.join(F.broadcast(probes), "bucket").filter(
+    cand = eb.join(F.broadcast(probes), ["tbl", "bucket"]).filter(
         F.col("vec_id") != F.col("query_id")
     )
     sim = _dot(F.col("qv"), F.col("embedding")) / (
@@ -205,12 +218,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ANN_LSH_TOPK = f"""
 WITH buckets AS ({SQL_SRP_BUCKETS}),
-e AS (SELECT em.vec_id, em.embedding::DOUBLE[] AS v, b.bucket
+e AS (SELECT em.vec_id, em.embedding::DOUBLE[] AS v, b.tbl, b.bucket
       FROM embeddings em JOIN buckets b ON em.vec_id = b.vec_id),
-q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+q AS (SELECT vec_id AS query_id, v AS qv, tbl, bucket AS qbucket
       FROM e WHERE vec_id < {N_QUERY_VECS}),
 probes AS (
-  SELECT query_id, qv,
+  SELECT query_id, qv, tbl,
          CASE WHEN f.bit = -1 THEN qbucket
               ELSE xor(qbucket, (1::BIGINT << f.bit)) END AS bucket
   FROM q, (SELECT unnest(generate_series(-1, {SRP_BITS - 1})) AS bit) f
@@ -220,7 +233,7 @@ scored AS (
          list_dot_product(p.qv, e.v)
            / (sqrt(list_dot_product(p.qv, p.qv))
               * sqrt(list_dot_product(e.v, e.v))) AS sim
-  FROM e JOIN probes p ON e.bucket = p.bucket
+  FROM e JOIN probes p ON e.tbl = p.tbl AND e.bucket = p.bucket
   WHERE e.vec_id <> p.query_id
 )
 SELECT query_id, rank, vec_id, round(sim, 6) AS sim_r

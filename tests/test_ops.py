@@ -1,0 +1,114 @@
+"""Training-data-pipeline operator tests (dedup / similarity / multimodal /
+eval metrics) over the driver testdata at sf0.001."""
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_covers_true_jaccard_pairs(spark):
+    """Every exact-Jaccard ≥ τ pair must be an LSH candidate (recall of the
+    banding scheme at this τ; precision is then enforced by the exact
+    verify stage = q_jaccard_pairs)."""
+    from information_retrieval_spark.ops import dedup
+
+    true_pairs = {(r.a, r.b) for r in dedup.q_jaccard_pairs(spark, SF).collect()}
+    cand_pairs = {(r.a, r.b) for r in dedup.q_minhash_pairs(spark, SF).collect()}
+    assert true_pairs, "fixture corpus should contain near-dup pairs"
+    missed = true_pairs - cand_pairs
+    assert not missed, f"LSH missed true near-dups: {missed}"
+
+
+def test_exact_dedup_groups_consistent(spark):
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.ops import dedup
+
+    d = dedup.q_dedup_exact(spark, SF)
+    # canonical is a member of its own group and the min doc_id
+    bad = d.filter(F.col("canonical_id") > F.col("doc_id")).count()
+    assert bad == 0
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert d.count() == n_docs
+
+
+def test_ann_recall_against_brute_force(spark):
+    from information_retrieval_spark.ops import similarity
+
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.q_cosine_topk(spark, SF).collect()
+    }
+    ann = {
+        (r.query_id, r.vec_id)
+        for r in similarity.q_ann_lsh_topk(spark, SF).collect()
+    }
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.4, f"multi-table SRP recall collapsed: {recall}"
+
+
+def test_simhash_near_dup_hamming(spark):
+    """Exact duplicates get identical simhash; the signature is 32-bit."""
+    from information_retrieval_spark.ops import dedup
+
+    sims = {r.doc_id: r.simhash for r in dedup.q_simhash(spark, SF).collect()}
+    assert all(0 <= v < (1 << 32) for v in sims.values())
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    by_text = {}
+    for did, t in docs.items():
+        by_text.setdefault(t, []).append(did)
+    for ids in by_text.values():
+        if len(ids) > 1:
+            assert len({sims[i] for i in ids}) == 1
+
+
+def test_multimodal_features_schema_and_determinism(spark):
+    from information_retrieval_spark.ops import multimodal
+
+    media = multimodal.media_table(spark, SF)
+    feats = multimodal.extract_features(media)
+    assert "payload" not in feats.columns  # bytes must not flow forward
+    rows1 = {r.doc_id: (r.payload_sha256, tuple(r.features))
+             for r in feats.collect()}
+    rows2 = {r.doc_id: (r.payload_sha256, tuple(r.features))
+             for r in multimodal.extract_features(media).collect()}
+    assert rows1 == rows2
+    assert all(len(v[1]) == multimodal.FEATURE_DIM for v in rows1.values())
+
+
+def test_multimodal_frame_sampling(spark):
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.ops import multimodal
+
+    media = multimodal.media_table(spark, SF)
+    frames = multimodal.sample_frames(media, every_n=50)
+    n_video = media.filter(F.col("media_type") == "video").count()
+    assert frames.select("doc_id").distinct().count() == n_video
+    # frame_no dense from 0 per doc
+    mx = frames.groupBy("doc_id").agg(
+        F.max("frame_no").alias("mx"), F.count("*").alias("n")
+    )
+    assert mx.filter(F.col("mx") != F.col("n") - 1).count() == 0
+
+
+def test_decode_stub_rejects_bad_magic():
+    from information_retrieval_spark.ops.multimodal import decode_image_stub
+
+    with pytest.raises(ValueError):
+        decode_image_stub(b"JPEGnotfake")
+
+
+def test_eval_metrics_bounds(spark):
+    from information_retrieval_spark.ops import metrics
+
+    rows = metrics.q_eval_metrics(spark, SF).collect()
+    assert rows
+    for r in rows:
+        for v in (r.p_r, r.r_r, r.f1_r, r.ap_r, r.ndcg_r, r.mrr_r):
+            assert 0.0 <= v <= 1.0 + 1e-9
+        assert r.n_hit <= r.n_ret
+        assert r.n_hit <= max(r.n_rel, 0)
