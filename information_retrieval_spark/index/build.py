@@ -130,7 +130,11 @@ class IndexBuilder:
         stop_k: int = 20,
         doc_id_col: str = "doc_id",
         n_buckets: int = 8,
+        stop_terms: list[str] | None = None,
     ):
+        """``stop_terms`` pins the stop list instead of deriving it from the
+        corpus — required when building an index that must stay consistent
+        with an incrementally maintained one (stop-list versioning)."""
         self.spark = spark
         self.index_dir = index_dir
         self.sections = sections
@@ -138,10 +142,11 @@ class IndexBuilder:
         self.stop_k = stop_k
         self.doc_id_col = doc_id_col
         self.n_buckets = n_buckets
+        self.stop_terms = stop_terms
         self.manifest_path = os.path.join(index_dir, "manifest.json")
         self.manifest: dict = {"stages": {}, "config": {
             "sections": sections, "tokenizer": tokenizer, "stop_k": stop_k,
-            "n_buckets": n_buckets,
+            "n_buckets": n_buckets, "stop_terms": stop_terms,
         }}
 
     # ------------------------------------------------------------ manifest
@@ -184,6 +189,13 @@ class IndexBuilder:
                 name, {"wall_s": round(time.time() - s, 3), **extra}
             )
 
+        # Spread the scan across all cores: a small corpus often arrives as
+        # one parquet file → one input split, which serializes the (most
+        # expensive) tokenize stage. At 100 TB the table has thousands of
+        # files and this repartition is a no-op cost-wise relative to build.
+        par = self.spark.sparkContext.defaultParallelism
+        if corpus.rdd.getNumPartitions() < par:
+            corpus = corpus.repartition(par)
         corpus = corpus.cache()
         tokens = tokenize_corpus(
             corpus, self.sections, self.tokenizer, self.doc_id_col
@@ -202,17 +214,23 @@ class IndexBuilder:
         # stage 2: stop-words — corpus-relative top-K (quirk Q6), ties
         # (count desc, term asc); partial+final agg then K-row driver sort
         def s_stop():
-            counts = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
-            top = (
-                counts.orderBy(F.desc("cnt"), F.asc("term"))
-                .limit(self.stop_k)
-                .withColumn(
-                    "rank",
-                    F.row_number().over(
-                        Window.orderBy(F.desc("cnt"), F.asc("term"))
-                    ),
+            if self.stop_terms is not None:
+                top = self.spark.createDataFrame(
+                    [(t, 0, i + 1) for i, t in enumerate(self.stop_terms)],
+                    "term string, cnt long, rank int",
                 )
-            )
+            else:
+                counts = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
+                top = (
+                    counts.orderBy(F.desc("cnt"), F.asc("term"))
+                    .limit(self.stop_k)
+                    .withColumn(
+                        "rank",
+                        F.row_number().over(
+                            Window.orderBy(F.desc("cnt"), F.asc("term"))
+                        ),
+                    )
+                )
             _write(top, self.path("stopwords"))
             return {}
 

@@ -82,6 +82,13 @@ class SearchEngine:
         # distributed bigram-table join; the driver path is correct and is
         # what the reference does (its whole index lives in driver RAM).
         self._bigram_dict: dict | None = None
+        # delete-vector (index/maintenance.py): docs logically removed
+        ddir = os.path.join(index_dir, "deleted_docs")
+        self.deleted_df = (
+            spark.read.parquet(ddir).select("doc_id").distinct()
+            if os.path.exists(ddir)
+            else None
+        )
 
     # ------------------------------------------------------------- helpers
 
@@ -114,6 +121,10 @@ class SearchEngine:
         """(query_id, qterm, mult, doc_id, section, tf) — tf merged over the
         prefix expansion when match_mode='prefix'."""
         p = self.postings.select("term", "section", "doc_id", "tf")
+        if self.deleted_df is not None:
+            # anti-join the delete vector BEFORE stats: the per-query
+            # candidate N/avgdl quirks then recompute over live docs only
+            p = p.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
         if match_mode == "exact":
             m = p.join(F.broadcast(qterms), p.term == qterms.qterm)
         else:

@@ -133,8 +133,11 @@ class _List:
             self.off = j
 
 
-def _wand_query(lists: list[_List], k: int) -> list[tuple[int, float]]:
-    """Exact top-k (doc_id, score) under ordering (-score, doc_id)."""
+def _wand_query(
+    lists: list[_List], k: int, deleted: frozenset = frozenset()
+) -> list[tuple[int, float]]:
+    """Exact top-k (doc_id, score) under ordering (-score, doc_id);
+    ``deleted`` docs are advanced past without entering the heap."""
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     lists = [L for L in lists if not L.exhausted()]
     while True:
@@ -156,18 +159,21 @@ def _wand_query(lists: list[_List], k: int) -> list[tuple[int, float]]:
             break  # Σ ub < θ: no remaining doc can enter the top-k
         pivot = lists[pivot_idx].cur_doc()
         if lists[0].cur_doc() == pivot:
+            live = pivot not in deleted
             score = 0.0
-            for L in lists:
-                if not L.exhausted() and L.cur_doc() == pivot:
-                    score += L.contribution()
+            if live:
+                for L in lists:
+                    if not L.exhausted() and L.cur_doc() == pivot:
+                        score += L.contribution()
             for L in lists:
                 if not L.exhausted() and L.cur_doc() == pivot:
                     L.advance()
-            item = (score, -pivot)
-            if len(heap) < k:
-                heapq.heappush(heap, item)
-            elif item > heap[0]:
-                heapq.heapreplace(heap, item)
+            if live:
+                item = (score, -pivot)
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
         else:
             # advance the laggard(s) to the pivot, skipping blocks
             lists[0].seek(pivot)
@@ -189,6 +195,18 @@ class WandEngine:
             self.config = json.load(f)["config"]
         self.sections = list(self.config["sections"].keys())
         self.tokenizer = self.config["tokenizer"]
+        # delete-vector (index/maintenance.py). Collected to a frozenset for
+        # the scoring closure — at real scale this is a per-partition roaring
+        # bitmap shipped with the shard, not a driver collect.
+        ddir = os.path.join(index_dir, "deleted_docs")
+        if os.path.exists(ddir):
+            self.deleted_df = spark.read.parquet(ddir).select("doc_id").distinct()
+            self.deleted = frozenset(
+                r.doc_id for r in self.deleted_df.collect()
+            )
+        else:
+            self.deleted_df = None
+            self.deleted = frozenset()
 
     # ------------------------------------------------------------- helpers
 
@@ -257,6 +275,8 @@ class WandEngine:
             .select("query_id", "doc_id")
             .distinct()
         )
+        if self.deleted_df is not None:
+            cand = cand.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
         sec = self.spark.createDataFrame(
             [(s,) for s in self.sections], ["section"]
         )
@@ -270,10 +290,25 @@ class WandEngine:
         )
         avgdl = {(r.query_id, r.section): r.avgdl for r in stats}
         n_cand = {r.query_id: r.n_cand for r in stats}
-        dfs = {
-            r.term: r.df
-            for r in self.term_df.filter(F.col("term").isin(all_terms)).collect()
-        }
+        if self.deleted:
+            # the term_df table still counts deleted docs; recompute df for
+            # the query terms from the live matched stream (cheap: pruned)
+            live = matched
+            if self.deleted_df is not None:
+                live = live.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
+            dfs = {
+                r.term: r.df
+                for r in live.groupBy("term")
+                .agg(F.countDistinct("doc_id").alias("df"))
+                .collect()
+            }
+        else:
+            dfs = {
+                r.term: r.df
+                for r in self.term_df.filter(
+                    F.col("term").isin(all_terms)
+                ).collect()
+            }
 
         # --- per-query scoring-term meta (weight = mult · idf · w_s) ------
         qmeta: dict[int, dict] = {}
@@ -293,6 +328,7 @@ class WandEngine:
             qmeta[q.query_id] = {"terms": terms, "k": q.k}
 
         sections = self.sections
+        deleted = self.deleted
 
         # --- WAND pass per bucket -----------------------------------------
         def wand_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -313,7 +349,7 @@ class WandEngine:
                 if not lists:
                     continue
                 k = meta["k"] if meta["k"] > 0 else 1 << 30
-                for doc, score in _wand_query(lists, k):
+                for doc, score in _wand_query(lists, k, deleted):
                     out_q.append(qid)
                     out_d.append(doc)
                     out_s.append(score)

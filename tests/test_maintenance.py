@@ -1,0 +1,111 @@
+"""Dynamic index maintenance (add/remove/compact) — reference parity with
+`add_document`/`remove_document` (`ir-phase-1.ipynb:c22-23`), SURVEY §2.10.
+
+Rank-identity contract: an incrementally maintained index answers queries
+identically to a fresh build over the equivalent corpus (stop list pinned
+via stop_k=10 = the fixture's 10 guaranteed head terms, so incremental and
+fresh builds agree on stop words by construction).
+"""
+
+import pytest
+
+from information_retrieval_spark.fixtures import corpus_rows
+from information_retrieval_spark.index.build import IndexBuilder
+from information_retrieval_spark.index.maintenance import IndexMaintenance
+from information_retrieval_spark.query.engine import QuerySpec, SearchEngine
+from information_retrieval_spark.query.wand import WandEngine
+
+SECTIONS = {"title": "path", "abstract": "content"}
+QUERIES = [
+    QuerySpec(1, "tokenizer stream", "okapi25", 10, spell=False, match_mode="exact"),
+    QuerySpec(2, "buffer matrix parser", "okapi25", 10, spell=False, match_mode="exact"),
+    QuerySpec(3, "load_save fetchBatch", "okapi25", 10, spell=False, match_mode="exact"),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(r.doc_id, r.repo, r.path, r.commit, r.lang, r.content) for r in rows],
+        "doc_id long, repo string, path string, commit string, lang string,"
+        " content string",
+    )
+
+
+def _results(engine):
+    return sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in engine.search(QUERIES).collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def maintained(spark, tmp_path_factory):
+    rows = corpus_rows(150)
+    base = str(tmp_path_factory.mktemp("maint"))
+    IndexBuilder(spark, base, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    IndexMaintenance(spark, base).add_documents(_df(spark, rows[120:]))
+    return base
+
+
+def _stop_of(spark, idx):
+    rows = spark.read.parquet(f"{idx}/stopwords").orderBy("rank").collect()
+    return [r.term for r in rows]
+
+
+@pytest.fixture(scope="module")
+def fresh150(spark, tmp_path_factory, maintained):
+    # pin the maintained index's stop list: incremental adds keep the
+    # original stop words (as the reference's add_document does), so the
+    # fresh-equivalence build must use the same list (stop-list versioning)
+    d = str(tmp_path_factory.mktemp("fresh150"))
+    IndexBuilder(
+        spark, d, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, maintained),
+    ).build(_df(spark, corpus_rows(150)))
+    return d
+
+
+def test_add_matches_fresh_build(spark, maintained, fresh150):
+    assert _results(SearchEngine(spark, maintained)) == _results(
+        SearchEngine(spark, fresh150)
+    )
+
+
+def test_wand_on_maintained_index(spark, maintained):
+    assert _results(WandEngine(spark, maintained)) == _results(
+        SearchEngine(spark, maintained)
+    )
+
+
+def test_remove_then_compact(spark, tmp_path_factory):
+    rows = corpus_rows(150)
+    removed = {r.doc_id for r in rows[40:70]}
+    kept = [r for r in rows if r.doc_id not in removed]
+
+    d = str(tmp_path_factory.mktemp("rm"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows)
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.remove_documents(sorted(removed))
+
+    fresh = str(tmp_path_factory.mktemp("freshkept"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, kept))
+    want = _results(SearchEngine(spark, fresh))
+
+    # logical delete: both engines must already exclude removed docs
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+    # physical compaction: same answers, delete vector gone
+    maint.compact()
+    import os
+
+    assert not os.path.exists(f"{d}/deleted_docs")
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
