@@ -25,6 +25,7 @@ from information_retrieval_spark.ops import (
     graph,
     ir_direct,
     metrics,
+    ml,
     multimodal,
     similarity,
     textstats,
@@ -73,7 +74,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": multimodal.q_media_features, # binary cols (rows-only)
         # --- graph scoring -------------------------------------------------
         "pagerank": graph.q_pagerank,                 # G1 (fixed iters)
+        "rank_fusion": graph.q_rank_fusion,           # F11/F12 (phase-3)
         "hits": graph.q_hits,                         # G2 (rows-only check)
+        # --- ML parity (G3/G5) ---------------------------------------------
+        "naive_bayes": ml.q_naive_bayes,
+        "kmeans": ml.q_kmeans,
     }
     return out
 
@@ -109,6 +114,9 @@ def oracle_sql() -> dict[str, str]:
         "eval_metrics": metrics.SQL_EVAL_METRICS,
         # "media_features": omitted (binary payload + stub decode UDF)
         "pagerank": graph.SQL_PAGERANK,
+        "rank_fusion": graph.SQL_RANK_FUSION,
+        "naive_bayes": ml.SQL_NAIVE_BAYES,
+        "kmeans": ml.SQL_KMEANS,
         # "hits": intentionally omitted (iterative global L2 normalization;
         # rows-only check — pytest covers value correctness)
     }

@@ -151,3 +151,69 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e.unpersist()
     return out
+
+
+# ------------------------------------------------------------- rank fusion
+
+FUSION_PW = 0.3  # pagerank weight (reference default personalization_weight)
+
+
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, doc_id, fused_r): phase-3 style fusion
+    (`search/phase3.py:160-179`): BM25 top-k and PageRank are each
+    ÷max-normalized (F11), then fused (1−pw)·search + pw·pagerank (F12)
+    and re-ranked. Normalization here is over the top-k score set and the
+    global PageRank vector respectively; ties pinned (-fused, doc_id)."""
+    from pyspark.sql import Window
+
+    from information_retrieval_spark.ops.ir_direct import q_bm25_topk
+
+    bm = q_bm25_topk(spark, sf_dir).select("query_id", "doc_id", "score_r")
+    pr = q_pagerank(spark, sf_dir)
+    wq = Window.partitionBy("query_id")
+    bmn = bm.withColumn("s_norm", F.col("score_r") / F.max("score_r").over(wq))
+    pr_max = pr.agg(F.max("pr_r").alias("m")).collect()[0].m
+    fused = (
+        bmn.join(pr, "doc_id")
+        .withColumn(
+            "fused",
+            (1 - FUSION_PW) * F.col("s_norm")
+            + FUSION_PW * (F.col("pr_r") / F.lit(float(pr_max))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("fused", 9)), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .select("query_id", "rank", "doc_id", F.round("fused", 6).alias("fused_r"))
+    )
+
+
+def _sql_rank_fusion() -> str:
+    from information_retrieval_spark.ops.ir_direct import SQL_BM25_TOPK
+
+    return f"""
+WITH bm AS (SELECT query_id, doc_id, score_r FROM ({SQL_BM25_TOPK})),
+pr AS ({SQL_PAGERANK}),
+prmax AS (SELECT max(pr_r) AS m FROM pr),
+bmn AS (
+  SELECT query_id, doc_id,
+         score_r / max(score_r) OVER (PARTITION BY query_id) AS s_norm
+  FROM bm
+),
+fused AS (
+  SELECT b.query_id, b.doc_id,
+         (1 - {FUSION_PW}) * b.s_norm + {FUSION_PW} * (p.pr_r / m.m) AS fused
+  FROM bmn b JOIN pr p ON b.doc_id = p.doc_id CROSS JOIN prmax m
+)
+SELECT query_id,
+       row_number() OVER (
+         PARTITION BY query_id ORDER BY round(fused, 9) DESC, doc_id ASC
+       ) AS rank,
+       doc_id, round(fused, 6) AS fused_r
+FROM fused
+"""
+
+
+SQL_RANK_FUSION = _sql_rank_fusion()

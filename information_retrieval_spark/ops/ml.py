@@ -1,0 +1,235 @@
+"""Classification + clustering parity ops (SURVEY.md §2.9 G3/G5),
+re-expressed as declarative Spark plans with DuckDB twins.
+
+* **Naive Bayes** (G5, `ir-phase-2.ipynb:c22`): multinomial with Laplace
+  α=1, trained on (term counts → lang) over ``documents`` and applied back
+  to the corpus (self-classification — the driver gate checks the math,
+  pytest checks accuracy > majority-class baseline is NOT expected since
+  the synthetic text is language-independent; determinism is the contract).
+  Everything is two hash-aggs + a broadcast grid join: the model IS a
+  (term × class) log-prob table.
+* **k-means** (G3, `ui/backend/mir/clustering/clustering.py:11-53`): K=4,
+  FIXED 3 iterations (deterministic init = vectors of vec_id 0..3), L2
+  assignment with (dist, cluster) tie-break, mean update — the fixed
+  iteration count lets the SQL oracle unroll the recurrence exactly like
+  PageRank's. Reference uses random init + allclose stop; we pin both for
+  rank-identity (documented deviation).
+
+Scale notes: NB model size = |vocab|×|classes| (broadcast); k-means
+iterations shuffle on (cluster, dim) — K·DIM rows — while assignments
+shuffle on vec_id only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+K_CLUSTERS = 4
+KMEANS_ITERS = 3
+DIM = 64
+
+
+# ------------------------------------------------------------- Naive Bayes
+
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pred_lang): multinomial NB with Laplace 1 smoothing,
+    features = simple-token counts, classes = ``lang``."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    tf = (
+        d.select("doc_id", "lang", F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "lang", "term")
+        .agg(F.count("*").alias("tf"))
+    ).localCheckpoint()
+
+    n_docs = d.count()
+    priors = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("nc"))
+        .select("lang", F.log(F.col("nc") / F.lit(float(n_docs))).alias("log_prior"))
+    )
+    vocab = tf.select("term").distinct()
+    v_size = vocab.count()
+    class_term = tf.groupBy("lang", "term").agg(F.sum("tf").alias("ct"))
+    class_tot = class_term.groupBy("lang").agg(F.sum("ct").alias("tot"))
+    # full vocab × class grid with Laplace smoothing
+    grid = (
+        vocab.crossJoin(class_tot)
+        .join(class_term, ["lang", "term"], "left")
+        .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
+        .select(
+            "term",
+            F.col("lang").alias("cls"),
+            F.log(
+                (F.col("ct") + 1.0) / (F.col("tot") + F.lit(float(v_size)))
+            ).alias("log_p"),
+        )
+    )
+    scores = (
+        tf.select("doc_id", "term", "tf")
+        .join(F.broadcast(grid), "term")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("tf") * F.col("log_p")).alias("ll"))
+        .join(F.broadcast(priors.withColumnRenamed("lang", "cls")), "cls")
+        .withColumn("score", F.col("ll") + F.col("log_prior"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("score", 9)), F.asc("cls")
+    )
+    return (
+        scores.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("doc_id", F.col("cls").alias("pred_lang"))
+    )
+
+
+SQL_NAIVE_BAYES = """
+WITH tf AS (
+  SELECT doc_id, lang, term, count(*) AS tf
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+  GROUP BY doc_id, lang, term
+),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+priors AS (
+  SELECT lang, ln(count(*)::DOUBLE / nd.n_docs) AS log_prior
+  FROM documents, nd GROUP BY lang, nd.n_docs
+),
+vocab AS (SELECT DISTINCT term FROM tf),
+vs AS (SELECT count(*) AS v FROM vocab),
+class_term AS (SELECT lang, term, sum(tf) AS ct FROM tf GROUP BY lang, term),
+class_tot AS (SELECT lang, sum(ct) AS tot FROM class_term GROUP BY lang),
+grid AS (
+  SELECT v.term, t.lang AS cls,
+         ln((coalesce(c.ct, 0) + 1.0) / (t.tot + vs.v)) AS log_p
+  FROM vocab v
+  CROSS JOIN class_tot t
+  CROSS JOIN vs
+  LEFT JOIN class_term c ON c.lang = t.lang AND c.term = v.term
+),
+scores AS (
+  SELECT f.doc_id, g.cls, sum(f.tf * g.log_p) + any_value(p.log_prior) AS score
+  FROM tf f
+  JOIN grid g ON f.term = g.term
+  JOIN priors p ON p.lang = g.cls
+  GROUP BY f.doc_id, g.cls
+)
+SELECT doc_id, cls AS pred_lang FROM (
+  SELECT doc_id, cls,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY round(score, 9) DESC, cls ASC
+    ) AS r
+  FROM scores
+) WHERE r = 1
+"""
+
+
+# ---------------------------------------------------------------- k-means
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster): assignment after KMEANS_ITERS Lloyd iterations,
+    centroids initialized to the vectors of vec_id 0..K-1."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    comp = (
+        e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+        .withColumn("x", F.col("x").cast("double"))
+        .localCheckpoint()
+    )
+    cent = (
+        comp.filter(F.col("vec_id") < K_CLUSTERS)
+        .select(F.col("vec_id").cast("int").alias("k"), "dim", F.col("x").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    for _ in range(KMEANS_ITERS):
+        dist = (
+            comp.join(F.broadcast(cent), "dim")
+            .groupBy("vec_id", "k")
+            .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.asc(F.round("d2", 9)), F.asc("k")
+        )
+        assign = (
+            dist.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "k")
+        )
+        cent = (
+            comp.join(assign, "vec_id")
+            .groupBy("k", "dim")
+            .agg(F.avg("x").alias("c"))
+        ).localCheckpoint()
+    dist = (
+        comp.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc(F.round("d2", 9)), F.asc("k"))
+    return (
+        dist.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", F.col("k").alias("cluster"))
+    )
+
+
+def _sql_kmeans() -> str:
+    cte = [
+        f"""comp AS (
+  SELECT vec_id, (i - 1) AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+)""",
+        f"""c0 AS (
+  SELECT vec_id::INT AS k, dim, x AS c FROM comp WHERE vec_id < {K_CLUSTERS}
+)""",
+    ]
+    for i in range(KMEANS_ITERS):
+        prev, cur = f"c{i}", f"c{i + 1}"
+        cte.append(
+            f"""a{i} AS (
+  SELECT vec_id, k FROM (
+    SELECT comp.vec_id, {prev}.k,
+      row_number() OVER (
+        PARTITION BY comp.vec_id
+        ORDER BY round(sum((comp.x - {prev}.c) * (comp.x - {prev}.c)), 9) ASC,
+                 {prev}.k ASC
+      ) AS r
+    FROM comp JOIN {prev} ON comp.dim = {prev}.dim
+    GROUP BY comp.vec_id, {prev}.k
+  ) WHERE r = 1
+)"""
+        )
+        cte.append(
+            f"""{cur} AS (
+  SELECT a.k, comp.dim, avg(comp.x) AS c
+  FROM comp JOIN a{i} a ON comp.vec_id = a.vec_id
+  GROUP BY a.k, comp.dim
+)"""
+        )
+    last = f"c{KMEANS_ITERS}"
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT vec_id, k AS cluster FROM (
+  SELECT comp.vec_id, {last}.k,
+    row_number() OVER (
+      PARTITION BY comp.vec_id
+      ORDER BY round(sum((comp.x - {last}.c) * (comp.x - {last}.c)), 9) ASC,
+               {last}.k ASC
+    ) AS r
+  FROM comp JOIN {last} ON comp.dim = {last}.dim
+  GROUP BY comp.vec_id, {last}.k
+) WHERE r = 1
+"""
+    )
+
+
+SQL_KMEANS = _sql_kmeans()
