@@ -211,8 +211,33 @@ class IndexBuilder:
 
         stage("stats", s_stats)
 
-        # stage 2: stop-words — corpus-relative top-K (quirk Q6), ties
-        # (count desc, term asc); partial+final agg then K-row driver sort
+        # stage 2: postings over ALL terms — the ONE pass over raw tokens.
+        # Everything else (stop list, doclen, vocab, df) derives from this
+        # far smaller (term, section, doc_id) aggregate: tokens are never
+        # recomputed or materialized a second time (they stream from the
+        # scan into this hash-agg within one stage). tf = distinct offsets
+        # (quirk Q4: the trie stores offset SETs); group key includes
+        # doc_id, so head-term skew cannot concentrate on one reducer.
+        def s_postings_all():
+            tf = (
+                tokens.groupBy("term", "section", "doc_id")
+                .agg(F.array_sort(F.collect_set("pos")).alias("positions"))
+                .withColumn("tf", F.size("positions"))
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast(
+                        "int"
+                    ),
+                )
+            )
+            _write(tf, self.path("postings_all"))
+            return {}
+
+        stage("postings_all", s_postings_all)
+        postings_all = self.spark.read.parquet(self.path("postings_all"))
+
+        # stage 3: stop-words — corpus-relative top-K by token count = Σ tf
+        # (quirk Q6), ties (count desc, term asc); or a pinned list
         def s_stop():
             if self.stop_terms is not None:
                 top = self.spark.createDataFrame(
@@ -220,7 +245,9 @@ class IndexBuilder:
                     "term string, cnt long, rank int",
                 )
             else:
-                counts = tokens.groupBy("term").agg(F.count("*").alias("cnt"))
+                counts = postings_all.groupBy("term").agg(
+                    F.sum("tf").alias("cnt")
+                )
                 top = (
                     counts.orderBy(F.desc("cnt"), F.asc("term"))
                     .limit(self.stop_k)
@@ -238,30 +265,13 @@ class IndexBuilder:
 
         stop_df = self.spark.read.parquet(self.path("stopwords"))
         stop_terms = [r.term for r in stop_df.collect()]
-        non_stop = tokens.filter(~F.col("term").isin(stop_terms))
 
-        # stage 3: doclen (dl per doc/section over NON-STOP tokens, quirk Q2)
-        def s_doclen():
-            dl = non_stop.groupBy("doc_id", "section").agg(
-                F.count("*").alias("dl")
-            )
-            _write(dl, self.path("doclen"), ["doc_id"])
-            return {}
-
-        stage("doclen", s_doclen)
-
-        # stage 4: flat postings — ONE shuffle keyed (term, section, doc_id);
-        # tf = distinct positions (quirk Q4: the trie stores offset SETs)
+        # stage 4: flat postings = non-stop subset, globally sorted by term
+        # → parquet min/max row-group stats prune query-term lookups
         def s_postings():
-            tf = non_stop.groupBy("term", "section", "doc_id").agg(
-                F.array_sort(F.collect_set("pos")).alias("positions")
-            ).withColumn("tf", F.size("positions")).withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
-            )
-            # global sort by term → parquet min/max row-group stats make
-            # query-term lookups prune to a handful of row groups
-            out = tf.repartitionByRange(
+            out = postings_all.filter(
+                ~F.col("term").isin(stop_terms)
+            ).repartitionByRange(
                 max(self.spark.sparkContext.defaultParallelism, 8),
                 "term", "section", "doc_id",
             )
@@ -273,8 +283,20 @@ class IndexBuilder:
 
         postings = self.spark.read.parquet(self.path("postings_flat"))
 
-        # stage 5: term_df — docs containing term in ANY section (trie doc-key
-        # semantics, `trie/phase1.py:22-25`)
+        # stage 5: doclen — dl = Σ tf of non-stop terms per (doc, section)
+        # (tokens are unique (term, pos) pairs, so Σ distinct-offset tf ==
+        # non-stop token count, quirk Q2's dl)
+        def s_doclen():
+            dl = postings.groupBy("doc_id", "section").agg(
+                F.sum("tf").cast("long").alias("dl")
+            )
+            _write(dl, self.path("doclen"), ["doc_id"])
+            return {}
+
+        stage("doclen", s_doclen)
+
+        # stage 6: term_df — docs containing term in ANY section (trie
+        # doc-key semantics, `trie/phase1.py:22-25`)
         def s_term_df():
             tdf = postings.groupBy("term").agg(
                 F.countDistinct("doc_id").alias("df")
@@ -284,18 +306,18 @@ class IndexBuilder:
 
         stage("term_df", s_term_df)
 
-        # stage 6: bigram vocabulary for spell correction — DISTINCT cleaned
+        # stage 7: bigram vocabulary for spell correction — DISTINCT cleaned
         # terms incl. stop words (`bigram_index/phase1.py:45-59` builds over
         # cleaned_documents, pre-stop-removal)
         def s_vocab():
-            vocab = tokens.select("term").distinct()
+            vocab = postings_all.select("term").distinct()
             _write(vocab, self.path("vocab"), ["term"])
             return {}
 
         stage("vocab", s_vocab)
 
-        # stage 7: lineage/metrics — per-partition accounting of the postings
-        # table (north_rule: per-partition lineage + metrics)
+        # stage 8: lineage/metrics — per-partition accounting of the
+        # postings table (north_rule: per-partition lineage + metrics)
         def s_lineage():
             lin = (
                 postings.withColumn("part_id", F.spark_partition_id())
