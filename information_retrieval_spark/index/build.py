@@ -316,26 +316,6 @@ class IndexBuilder:
 
         stage("vocab", s_vocab)
 
-        # stage 8: lineage/metrics — per-partition accounting of the
-        # postings table (north_rule: per-partition lineage + metrics)
-        def s_lineage():
-            lin = (
-                postings.withColumn("part_id", F.spark_partition_id())
-                .groupBy("part_id")
-                .agg(
-                    F.count("*").alias("rows"),
-                    F.countDistinct("term").alias("terms"),
-                    F.sum("tf").alias("tokens"),
-                    F.expr(
-                        "bit_xor(xxhash64(term, section, doc_id, tf))"
-                    ).alias("content_hash"),
-                )
-            )
-            _write(lin, self.path("lineage"))
-            return {}
-
-        stage("lineage", s_lineage)
-
         # stage 8: packed block-max shards (delta-gap + varint, per-block
         # max_tf/min_dl — the north_star layout; index/pack.py)
         def s_packed():
@@ -345,6 +325,37 @@ class IndexBuilder:
             return {}
 
         stage("packed", s_packed)
+
+        # stage 9: lineage/metrics — per-partition accounting of every core
+        # table (north_rule: per-partition lineage + metrics). Each row:
+        # (table, part_id, rows, content_hash); stage wall-times live in
+        # manifest.json.
+        def s_lineage():
+            parts = []
+            specs = {
+                "postings_flat": "xxhash64(term, section, doc_id, tf)",
+                "doclen": "xxhash64(doc_id, section, dl)",
+                "packed": "xxhash64(term, section, bucket, block_id, docs_bin)",
+            }
+            for table, h in specs.items():
+                t = self.spark.read.parquet(self.path(table))
+                parts.append(
+                    t.withColumn("part_id", F.spark_partition_id())
+                    .groupBy("part_id")
+                    .agg(
+                        F.count("*").alias("rows"),
+                        F.expr(f"bit_xor({h})").alias("content_hash"),
+                    )
+                    .select(F.lit(table).alias("table"), "part_id", "rows",
+                            "content_hash")
+                )
+            lin = parts[0]
+            for x in parts[1:]:
+                lin = lin.unionByName(x)
+            _write(lin, self.path("lineage"))
+            return {}
+
+        stage("lineage", s_lineage)
 
         self._commit_stage(
             "ALL", {"wall_s": round(time.time() - t0, 3)}

@@ -42,11 +42,16 @@ def test_resume_skips_completed_stages(spark, corpus_df, index_dir, tmp_path):
     assert index_content_hash(spark, index_dir) == index_content_hash(spark, d2)
 
 
-def test_lineage_partitions_cover_postings(spark, index_dir):
+def test_lineage_partitions_cover_core_tables(spark, index_dir):
+    from pyspark.sql import functions as F
+
     lin = spark.read.parquet(os.path.join(index_dir, "lineage"))
-    postings = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
-    total = lin.groupBy().sum("rows").collect()[0][0]
-    assert total == postings.count()
+    for table in ("postings_flat", "doclen", "packed"):
+        t = spark.read.parquet(os.path.join(index_dir, table))
+        total = (
+            lin.filter(F.col("table") == table).groupBy().sum("rows").collect()[0][0]
+        )
+        assert total == t.count(), table
 
 
 def test_sha256_invariant_matches_python(spark, corpus_df, fixture_corpus):
