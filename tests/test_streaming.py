@@ -1,0 +1,84 @@
+"""Streaming ingestion: files landing in a watch dir drain into the index
+via foreachBatch → IndexMaintenance; the result is rank-identical to a
+fresh batch build over everything that has arrived."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from information_retrieval_spark.fixtures import corpus_rows
+from information_retrieval_spark.index.build import IndexBuilder
+from information_retrieval_spark.query.engine import QuerySpec, SearchEngine
+from information_retrieval_spark.streaming.ingest import run_incremental_indexing
+
+SECTIONS = {"title": "path", "abstract": "content"}
+QUERIES = [
+    QuerySpec(1, "tokenizer stream", "okapi25", 10, spell=False, match_mode="exact"),
+    QuerySpec(2, "buffer matrix parser", "okapi25", 10, spell=False, match_mode="exact"),
+]
+
+
+def _write_rows(path, rows):
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
+                "repo": pa.array([r.repo for r in rows]),
+                "path": pa.array([r.path for r in rows]),
+                "commit": pa.array([r.commit for r in rows]),
+                "lang": pa.array([r.lang for r in rows]),
+                "content": pa.array([r.content for r in rows]),
+            }
+        ),
+        path,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(r.doc_id, r.repo, r.path, r.commit, r.lang, r.content) for r in rows],
+        "doc_id long, repo string, path string, commit string, lang string,"
+        " content string",
+    )
+
+
+def _results(engine):
+    return sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in engine.search(QUERIES).collect()
+    )
+
+
+def test_streaming_ingest_matches_batch_build(spark, tmp_path):
+    rows = corpus_rows(150)
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+
+    # base index over the first 100 docs
+    IndexBuilder(spark, idx, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:100])
+    )
+    stop = [
+        r.term
+        for r in spark.read.parquet(f"{idx}/stopwords").orderBy("rank").collect()
+    ]
+
+    # two files arrive; drain the stream
+    _write_rows(str(watch / "part1.parquet"), rows[100:130])
+    _write_rows(str(watch / "part2.parquet"), rows[130:150])
+    run_incremental_indexing(spark, idx, str(watch), cp)
+
+    fresh = str(tmp_path / "fresh")
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10, stop_terms=stop
+    ).build(_df(spark, rows))
+    assert _results(SearchEngine(spark, idx)) == _results(SearchEngine(spark, fresh))
+
+    # drain again with nothing new: ledger + checkpoint make it a no-op
+    n_docs_before = spark.read.parquet(f"{idx}/postings_flat").count()
+    run_incremental_indexing(spark, idx, str(watch), cp)
+    assert spark.read.parquet(f"{idx}/postings_flat").count() == n_docs_before
+    assert os.path.exists(f"{idx}/stream_batches.json")
