@@ -217,3 +217,76 @@ FROM fused
 
 
 SQL_RANK_FUSION = _sql_rank_fusion()
+
+
+# ----------------------------------------------- personalized PageRank (G1)
+
+def personalized_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    nodes: DataFrame,
+    preferences: dict[int, float],
+    damping: float = DAMPING,
+    tol: float = 1e-4,
+    max_iter: int = 100,
+) -> DataFrame:
+    """Reference-exact personalized PageRank (`search/phase3.py:23-82`):
+
+      r'(v) = (1−d)/N + d·Σ_in r(u)/outdeg(u) + (1−d)·pref(v)
+
+    — the teleport term is ADDED for preferred nodes only (non-standard:
+    the resulting vector does not sum to 1; replicated deliberately for
+    score-identity, SURVEY.md §2.9 G1). ``preferences`` are normalized to
+    sum 1 as the reference does (`phase3.py:151-155`). Stops at L1 change
+    < tol or max_iter. Driver sees one scalar per iteration (the L1 agg);
+    ranks stay distributed, lineage truncated every few iterations.
+    """
+    n = nodes.count()
+    total = sum(preferences.values()) or 1.0
+    pref_rows = [(int(k), float(v) / total) for k, v in preferences.items()]
+    pref = (
+        spark.createDataFrame(pref_rows, "doc_id long, pref double")
+        if pref_rows
+        else spark.createDataFrame([], "doc_id long, pref double")
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    e_deg = edges.join(outdeg, "src").repartition("src").cache()
+    base = nodes.join(F.broadcast(pref), "doc_id", "left").select(
+        "doc_id",
+        (
+            F.lit((1.0 - damping) / n)
+            + (1.0 - damping) * F.coalesce(F.col("pref"), F.lit(0.0))
+        ).alias("base"),
+    ).cache()
+    ranks = nodes.select("doc_id", F.lit(1.0 / n).alias("pr"))
+    for i in range(max_iter):
+        contrib = (
+            e_deg.join(ranks, e_deg.src == ranks.doc_id)
+            .select("dst", (F.col("pr") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        new_ranks = (
+            base.join(contrib, base.doc_id == contrib.dst, "left")
+            .select(
+                "doc_id",
+                (
+                    F.col("base")
+                    + damping * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("pr"),
+            )
+        ).localCheckpoint()
+        l1 = (
+            new_ranks.join(
+                ranks.withColumnRenamed("pr", "pr_old"), "doc_id"
+            )
+            .agg(F.sum(F.abs(F.col("pr") - F.col("pr_old"))).alias("d"))
+            .collect()[0]
+            .d
+        )
+        ranks = new_ranks
+        if l1 < tol:
+            break
+    e_deg.unpersist()
+    base.unpersist()
+    return ranks
