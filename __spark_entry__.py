@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from information_retrieval_spark.ops import (
     dedup,
     engine_entry,
+    events,
     graph,
     ir_direct,
     metrics,
@@ -69,6 +70,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.q_cosine_topk,
         "srp_buckets": similarity.q_srp_buckets,
         "ann_lsh_topk": similarity.q_ann_lsh_topk,
+        # --- event analytics (beyond-reference: time windows, JSON) --------
+        "event_windows": events.q_event_windows,
+        "sessionize": events.q_sessionize,
+        "event_json": events.q_event_json,
         # --- IR evaluation + multimodal plumbing ---------------------------
         "eval_metrics": metrics.q_eval_metrics,       # A10/A11
         "media_features": multimodal.q_media_features, # binary cols (rows-only)
@@ -111,6 +116,9 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.SQL_COSINE_TOPK,
         "srp_buckets": similarity.SQL_SRP_BUCKETS,
         "ann_lsh_topk": similarity.SQL_ANN_LSH_TOPK,
+        "event_windows": events.SQL_EVENT_WINDOWS,
+        "sessionize": events.SQL_SESSIONIZE,
+        "event_json": events.SQL_EVENT_JSON,
         "eval_metrics": metrics.SQL_EVAL_METRICS,
         # "media_features": omitted (binary payload + stub decode UDF)
         "pagerank": graph.SQL_PAGERANK,
