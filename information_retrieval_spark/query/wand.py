@@ -207,8 +207,26 @@ class WandEngine:
         else:
             self.deleted_df = None
             self.deleted = frozenset()
+        self._dl_map_df = None
 
     # ------------------------------------------------------------- helpers
+
+    def _dl_map(self):
+        """Per-doc section→dl map, folded once and cached across queries —
+        the distributed analogue of the reference's in-RAM doclen dict. It
+        collapses the Q2 sections crossJoin + per-section shuffle into one
+        join + one aggregate (missing section still contributes dl = 0)."""
+        if self._dl_map_df is None:
+            self._dl_map_df = (
+                self.doclen.groupBy("doc_id")
+                .agg(
+                    F.map_from_arrays(
+                        F.collect_list("section"), F.collect_list("dl")
+                    ).alias("dlmap")
+                )
+                .persist()
+            )
+        return self._dl_map_df
 
     def _tokenize(self, text: str) -> list[str]:
         toks = code_terms(text) if self.tokenizer == "code" else simple_tokens(text)
@@ -277,18 +295,24 @@ class WandEngine:
         )
         if self.deleted_df is not None:
             cand = cand.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
-        sec = self.spark.createDataFrame(
-            [(s,) for s in self.sections], ["section"]
-        )
+        dl_map = self._dl_map()
+        sec_avgs = [
+            F.avg(
+                F.coalesce(F.element_at("dlmap", F.lit(s)), F.lit(0))
+            ).alias(f"avgdl_{i}")
+            for i, s in enumerate(self.sections)
+        ]
         stats = (
-            cand.crossJoin(F.broadcast(sec))
-            .join(self.doclen, ["doc_id", "section"], "left")
-            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
-            .groupBy("query_id", "section")
-            .agg(F.avg("dl").alias("avgdl"), F.countDistinct("doc_id").alias("n_cand"))
+            cand.join(dl_map, "doc_id", "left")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_cand"), *sec_avgs)
             .collect()
         )
-        avgdl = {(r.query_id, r.section): r.avgdl for r in stats}
+        avgdl = {
+            (r.query_id, s): r[f"avgdl_{i}"]
+            for r in stats
+            for i, s in enumerate(self.sections)
+        }
         n_cand = {r.query_id: r.n_cand for r in stats}
         if self.deleted:
             # the term_df table still counts deleted docs; recompute df for
