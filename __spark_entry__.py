@@ -28,6 +28,7 @@ from information_retrieval_spark.ops import (
     metrics,
     ml,
     multimodal,
+    recsys,
     similarity,
     textstats,
 )
@@ -84,6 +85,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ML parity (G3/G5) ---------------------------------------------
         "naive_bayes": ml.q_naive_bayes,
         "kmeans": ml.q_kmeans,
+        # --- recommenders (G7/G8) ------------------------------------------
+        "user_knn": recsys.q_user_knn,
+        "content_recs": recsys.q_content_recs,
     }
     return out
 
@@ -124,6 +128,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": graph.SQL_PAGERANK,
         "rank_fusion": graph.SQL_RANK_FUSION,
         "naive_bayes": ml.SQL_NAIVE_BAYES,
+        "user_knn": recsys.SQL_USER_KNN,
+        "content_recs": recsys.SQL_CONTENT_RECS,
         "kmeans": ml.SQL_KMEANS,
         # "hits": intentionally omitted (iterative global L2 normalization;
         # rows-only check — pytest covers value correctness)
