@@ -73,6 +73,18 @@ def main() -> None:
         "ann_lsh_topk": similarity.q_ann_lsh_topk,
         "pagerank": graph.q_pagerank,
     }
+    from information_retrieval_spark.ops import engine_entry, events, metrics, ml
+
+    battery.update(
+        {
+            "wand_topk": engine_entry.q_wand_topk,
+            "eval_metrics": metrics.q_eval_metrics,
+            "event_windows": events.q_event_windows,
+            "sessionize": events.q_sessionize,
+            "naive_bayes": ml.q_naive_bayes,
+            "kmeans": ml.q_kmeans,
+        }
+    )
     for name, q in battery.items():
         run(name, lambda q=q: q(spark, sf_dir).collect())
 
