@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": similarity.q_cosine_topk,
         "srp_buckets": similarity.q_srp_buckets,
         "ann_lsh_topk": similarity.q_ann_lsh_topk,
+        "ann_ivf_topk": similarity.q_ann_ivf_topk,
         # --- event analytics (beyond-reference: time windows, JSON) --------
         "event_windows": events.q_event_windows,
         "sessionize": events.q_sessionize,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": similarity.SQL_COSINE_TOPK,
         "srp_buckets": similarity.SQL_SRP_BUCKETS,
         "ann_lsh_topk": similarity.SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": similarity.SQL_ANN_IVF_TOPK,
         "event_windows": events.SQL_EVENT_WINDOWS,
         "sessionize": events.SQL_SESSIONIZE,
         "event_json": events.SQL_EVENT_JSON,

@@ -133,9 +133,10 @@ SELECT doc_id, cls AS pred_lang FROM (
 
 # ---------------------------------------------------------------- k-means
 
-def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cluster): assignment after KMEANS_ITERS Lloyd iterations,
-    centroids initialized to the vectors of vec_id 0..K-1."""
+def kmeans_centroids(spark: SparkSession, sf_dir: str):
+    """(comp, centroids): the exploded component table and the centroid
+    table after KMEANS_ITERS Lloyd iterations (init = vectors of vec_id
+    0..K-1). Shared by q_kmeans and the IVF ANN coarse quantizer."""
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     comp = (
         e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
@@ -167,6 +168,13 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("k", "dim")
             .agg(F.avg("x").alias("c"))
         ).localCheckpoint()
+    return comp, cent
+
+
+def kmeans_assign(comp: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cluster): nearest-centroid assignment, tie → k asc."""
+    from pyspark.sql import Window
+
     dist = (
         comp.join(F.broadcast(cent), "dim")
         .groupBy("vec_id", "k")
@@ -180,7 +188,14 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans() -> str:
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cluster): assignment after KMEANS_ITERS Lloyd iterations,
+    centroids initialized to the vectors of vec_id 0..K-1."""
+    comp, cent = kmeans_centroids(spark, sf_dir)
+    return kmeans_assign(comp, cent)
+
+
+def _sql_kmeans_ctes() -> list[str]:
     cte = [
         f"""comp AS (
   SELECT vec_id, (i - 1) AS dim, embedding[i]::DOUBLE AS x
@@ -213,6 +228,11 @@ def _sql_kmeans() -> str:
   GROUP BY a.k, comp.dim
 )"""
         )
+    return cte
+
+
+def _sql_kmeans() -> str:
+    cte = _sql_kmeans_ctes()
     last = f"c{KMEANS_ITERS}"
     return (
         "WITH "

@@ -246,3 +246,138 @@ FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+# ----------------------------------------------------------- IVF-style ANN
+
+N_PROBE = 2  # coarse-quantizer cells probed per query
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, vec_id, sim_r): IVF-style ANN — the k-means
+    centroids (ops/ml.py, deterministic Lloyd) are the coarse quantizer;
+    each query probes its N_PROBE nearest cells and exact-reranks their
+    members by cosine. The candidate join keys on the cell id, so per-query
+    work is ~N_PROBE/K of the corpus; larger K shrinks the probe set (the
+    classic IVF recall/cost dial)."""
+    from information_retrieval_spark.ops.ml import kmeans_assign, kmeans_centroids
+
+    comp, cent = kmeans_centroids(spark, sf_dir)
+    assign = kmeans_assign(comp, cent)
+    e = _emb(spark, sf_dir).join(assign, "vec_id")
+    # per-query distance to every centroid → N_PROBE nearest cells
+    qcomp = comp.filter(F.col("vec_id") < N_QUERY_VECS)
+    qdist = (
+        qcomp.join(F.broadcast(cent), "dim")
+        .groupBy(F.col("vec_id").alias("query_id"), "k")
+        .agg(F.sum((F.col("x") - F.col("c")) ** 2).alias("d2"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.asc(F.round("d2", 9)), F.asc("k")
+    )
+    probes = (
+        qdist.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= N_PROBE)
+        .select("query_id", F.col("k").alias("cluster"))
+    )
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cand = (
+        e.join(F.broadcast(probes), "cluster")
+        .join(F.broadcast(q), "query_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    sim = _dot(F.col("qv"), F.col("embedding")) / (
+        F.sqrt(_dot(F.col("qv"), F.col("qv")))
+        * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    )
+    scored = cand.select("query_id", "vec_id", sim.alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def _sql_ann_ivf() -> str:
+    from information_retrieval_spark.ops.ml import (
+        KMEANS_ITERS,
+        _sql_kmeans_ctes,
+    )
+
+    ctes = _sql_kmeans_ctes()
+    last = f"c{KMEANS_ITERS}"
+    ctes.append(
+        f"""assign AS (
+  SELECT vec_id, k AS cluster FROM (
+    SELECT comp.vec_id, {last}.k,
+      row_number() OVER (
+        PARTITION BY comp.vec_id
+        ORDER BY round(sum((comp.x - {last}.c) * (comp.x - {last}.c)), 9) ASC,
+                 {last}.k ASC
+      ) AS r
+    FROM comp JOIN {last} ON comp.dim = {last}.dim
+    GROUP BY comp.vec_id, {last}.k
+  ) WHERE r = 1
+)"""
+    )
+    ctes.append(
+        f"""probes AS (
+  SELECT query_id, k AS cluster FROM (
+    SELECT comp.vec_id AS query_id, {last}.k,
+      row_number() OVER (
+        PARTITION BY comp.vec_id
+        ORDER BY round(sum((comp.x - {last}.c) * (comp.x - {last}.c)), 9) ASC,
+                 {last}.k ASC
+      ) AS r
+    FROM comp JOIN {last} ON comp.dim = {last}.dim
+    WHERE comp.vec_id < {N_QUERY_VECS}
+    GROUP BY comp.vec_id, {last}.k
+  ) WHERE r <= {N_PROBE}
+)"""
+    )
+    ctes.append(
+        f"""ev AS (
+  SELECT em.vec_id, em.embedding::DOUBLE[] AS v, a.cluster
+  FROM embeddings em JOIN assign a ON em.vec_id = a.vec_id
+)"""
+    )
+    ctes.append(
+        f"""qv AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {N_QUERY_VECS}
+)"""
+    )
+    ctes.append(
+        """scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_dot_product(q.qv, e.v)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM ev e
+  JOIN probes p ON e.cluster = p.cluster
+  JOIN qv q ON q.query_id = p.query_id
+  WHERE e.vec_id <> q.query_id
+)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT query_id, rank, vec_id, round(sim, 6) AS sim_r
+FROM (
+  SELECT query_id, vec_id, sim,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY round(sim, 9) DESC, vec_id ASC
+    ) AS rank
+  FROM scored
+)
+WHERE rank <= {TOP_K}
+"""
+    )
+
+
+SQL_ANN_IVF_TOPK = _sql_ann_ivf()

@@ -112,3 +112,18 @@ def test_eval_metrics_bounds(spark):
             assert 0.0 <= v <= 1.0 + 1e-9
         assert r.n_hit <= r.n_ret
         assert r.n_hit <= max(r.n_rel, 0)
+
+
+def test_ivf_recall_against_brute_force(spark):
+    from information_retrieval_spark.ops import similarity
+
+    bf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.q_cosine_topk(spark, SF).collect()
+    }
+    ivf = {
+        (r.query_id, r.vec_id)
+        for r in similarity.q_ann_ivf_topk(spark, SF).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.8, f"IVF (2/4 probes) recall collapsed: {recall}"

@@ -78,3 +78,29 @@ def test_packed_df_matches_term_df(spark, index_dir):
         F.coalesce("df_sec", F.lit(-1)) != F.coalesce("rows", F.lit(-2))
     ).count()
     assert bad == 0
+
+
+def test_head_term_postings_split_across_buckets(spark, index_dir):
+    """Skew evidence: a head term's posting list must spread over (nearly)
+    all doc-hash buckets, so no single pack/WAND task owns it (SURVEY §4.1
+    explicit skew handling)."""
+    import pyspark.sql.functions as F
+
+    packed = spark.read.parquet(f"{index_dir}/packed")
+    # head terms appear in ~85% of fixture docs ('self' survives stop-K=20
+    # only sometimes; use the most frequent non-stop term instead)
+    top = (
+        spark.read.parquet(f"{index_dir}/postings_flat")
+        .groupBy("term")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()
+        .term
+    )
+    n_buckets = (
+        packed.filter(F.col("term") == top)
+        .select("bucket")
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 6, f"head term '{top}' concentrated in {n_buckets} buckets"
