@@ -80,3 +80,54 @@ def encode_doc_gaps(doc_ids: np.ndarray) -> bytes:
 def decode_doc_gaps(buf: bytes) -> np.ndarray:
     gaps = varint_decode(buf)
     return np.cumsum(gaps, dtype=np.uint64)
+
+
+# ------------------------------------------------------------- Elias gamma
+
+def gamma_encode(values: np.ndarray) -> bytes:
+    """Elias-γ bitstream of POSITIVE ints, MSB-first, zero-padded to a byte.
+
+    Format parity with the reference's γ writer (`ir-phase-1.ipynb:
+    c25:10-27`): per value v (≥1) with k = bit_length−1, emit k ones, a
+    zero, then the k low bits of v. The reference's +1 shift for
+    0-valued positions (quirk Q9) is the CALLER's job (encode pos+1).
+    γ is the compatibility codec; varint is the production codec.
+    """
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    if (v == 0).any():
+        raise ValueError("gamma code requires values >= 1 (shift first)")
+    acc = 0
+    nbits = 0
+    for x in v.tolist():
+        k = x.bit_length() - 1
+        # k ones, one zero, k offset bits  → width 2k+1
+        word = (((1 << k) - 1) << (k + 1)) | (x & ((1 << k) - 1))
+        acc = (acc << (2 * k + 1)) | word
+        nbits += 2 * k + 1
+    pad = (-nbits) % 8
+    acc <<= pad
+    nbits += pad
+    return acc.to_bytes(nbits // 8, "big")
+
+
+def gamma_decode(buf: bytes, count: int) -> np.ndarray:
+    """Decode ``count`` γ-coded values from an MSB-first bitstream."""
+    out = np.empty(count, dtype=np.uint64)
+    if count == 0:
+        return out
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8))
+    i = 0
+    for j in range(count):
+        k = 0
+        while bits[i]:
+            k += 1
+            i += 1
+        i += 1  # the zero terminator
+        x = 1
+        for _ in range(k):
+            x = (x << 1) | int(bits[i])
+            i += 1
+        out[j] = x
+    return out

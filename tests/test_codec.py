@@ -48,3 +48,30 @@ def test_compression_beats_raw():
     docs = np.arange(0, 128_000, 7, dtype=np.uint64)  # small gaps
     enc = encode_doc_gaps(docs)
     assert len(enc) < docs.size * 2  # vs 8 bytes/doc raw
+
+
+@given(st.lists(st.integers(min_value=1, max_value=2**40), max_size=200))
+@settings(max_examples=150, deadline=None)
+def test_gamma_roundtrip(vals):
+    from information_retrieval_spark.index.codec import gamma_decode, gamma_encode
+
+    enc = gamma_encode(np.array(vals, dtype=np.uint64))
+    dec = gamma_decode(enc, len(vals))
+    assert dec.tolist() == vals
+
+
+def test_gamma_known_bits():
+    """γ(9): k=3 → unary 1110, offset 001 → '1110001' (+1 pad bit)."""
+    from information_retrieval_spark.index.codec import gamma_encode
+
+    assert gamma_encode(np.array([9], dtype=np.uint64)) == bytes([0b11100010])
+    assert gamma_encode(np.array([1], dtype=np.uint64)) == bytes([0b00000000])
+
+
+def test_gamma_rejects_zero():
+    import pytest
+
+    from information_retrieval_spark.index.codec import gamma_encode
+
+    with pytest.raises(ValueError):
+        gamma_encode(np.array([0], dtype=np.uint64))
