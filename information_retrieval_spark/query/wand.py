@@ -208,6 +208,7 @@ class WandEngine:
             self.deleted_df = None
             self.deleted = frozenset()
         self._dl_map_df = None
+        self._last_shard = None
 
     # ------------------------------------------------------------- helpers
 
@@ -396,6 +397,10 @@ class WandEngine:
             .filter((F.col("rank") <= F.col("k")) | (F.col("k") < 0))
             .select("query_id", "rank", "doc_id", "score")
         )
-        result = out.localCheckpoint()  # materialize before unpersist
-        shard.unpersist()
-        return result
+        # return lazily: the caller's action consumes the still-cached shard
+        # (saves one materialization job per batch); the previous batch's
+        # shard cache is dropped on the NEXT search call
+        if self._last_shard is not None:
+            self._last_shard.unpersist()
+        self._last_shard = shard
+        return out
