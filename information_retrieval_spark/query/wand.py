@@ -101,6 +101,11 @@ class _List:
         dl = float(self.dls[self.off])
         return self.weight * _tf_norm(tf, dl, self.avgdl)
 
+    def cur_tf_dl(self) -> tuple[float, float]:
+        if self.docs is None:
+            self._decode()
+        return float(self.tfs[self.off]), float(self.dls[self.off])
+
     def advance(self) -> None:
         """Next posting."""
         if self.docs is None:
@@ -133,8 +138,59 @@ class _List:
             self.off = j
 
 
+class _MergedList:
+    """Cursor over the UNION of several posting runs — the prefix-expansion
+    semantics (`trie/phase1.py:17-36` via `engine.py::_matched`): a query
+    term in prefix mode matches every vocabulary term it prefixes, and the
+    per-doc tf is the SUM over the expansion. tf_norm is applied to the
+    merged tf (not per-run), exactly like the exhaustive engine's
+    ``groupBy(...).sum(tf)`` before scoring.
+
+    ub uses tf_norm(Σ run-max tf, min run-min dl): tf_norm is monotone ↑ in
+    tf and ↓ in dl, so this bounds any doc's merged contribution.
+    """
+
+    __slots__ = ("runs", "weight", "avgdl", "ub")
+
+    def __init__(self, runs: list[_List], weight: float, avgdl: float):
+        self.runs = runs
+        self.weight = weight
+        self.avgdl = avgdl
+        max_tf_sum = sum(max(b[5] for b in r.blocks) for r in runs)
+        min_dl = min(min(b[6] for b in r.blocks) for r in runs)
+        self.ub = weight * _tf_norm(max_tf_sum, min_dl, avgdl)
+
+    def exhausted(self) -> bool:
+        return all(r.exhausted() for r in self.runs)
+
+    def cur_doc(self) -> int:
+        return min(r.cur_doc() for r in self.runs if not r.exhausted())
+
+    def contribution(self) -> float:
+        d = self.cur_doc()
+        tf = 0.0
+        dl = 0.0
+        for r in self.runs:
+            if not r.exhausted() and r.cur_doc() == d:
+                t, l = r.cur_tf_dl()
+                tf += t
+                dl = l  # dl is per (doc, section): identical across runs
+        return self.weight * _tf_norm(tf, dl, self.avgdl)
+
+    def advance(self) -> None:
+        d = self.cur_doc()
+        for r in self.runs:
+            if not r.exhausted() and r.cur_doc() == d:
+                r.advance()
+
+    def seek(self, target: int) -> None:
+        for r in self.runs:
+            if not r.exhausted():
+                r.seek(target)
+
+
 def _wand_query(
-    lists: list[_List], k: int, deleted: frozenset = frozenset()
+    lists: list, k: int, deleted: frozenset = frozenset()
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) under ordering (-score, doc_id);
     ``deleted`` docs are advanced past without entering the heap."""
@@ -209,6 +265,7 @@ class WandEngine:
             self.deleted = frozenset()
         self._dl_map_df = None
         self._last_shard = None
+        self._bigram_dict = None
 
     # ------------------------------------------------------------- helpers
 
@@ -242,17 +299,60 @@ class WandEngine:
 
     # ---------------------------------------------------------------- main
 
+    def _correct(self, text: str) -> str:
+        """Spell-correct against the (vocabulary-sized) bigram dictionary —
+        same driver-side path as the exhaustive engine (quirk Q7)."""
+        if self._bigram_dict is None:
+            from information_retrieval_spark.query.spell import build_bigram_dict
+
+            vocab = [
+                r.term
+                for r in self.spark.read.parquet(
+                    os.path.join(self.index_dir, "vocab")
+                ).collect()
+            ]
+            self._bigram_dict = build_bigram_dict(vocab)
+        from information_retrieval_spark.query.spell import correct_text
+
+        return correct_text(self._bigram_dict, text)
+
+    def _expand_prefix(self, qterms: set[str]) -> dict[str, list[str]]:
+        """qterm → matching postings terms (prefix semantics,
+        `trie/phase1.py:17-36`): every indexed term the qterm prefixes,
+        GATED on the exact term existing (`has_exact` in engine._matched).
+        One pushed-filter scan of the term dictionary."""
+        from functools import reduce
+        from operator import or_
+
+        cond = reduce(or_, [F.col("term").startswith(t) for t in qterms])
+        terms = [r.term for r in self.term_df.filter(cond).collect()]
+        out: dict[str, list[str]] = {}
+        have = set(terms)
+        for q in qterms:
+            if q in have:
+                out[q] = [t for t in terms if t.startswith(q)]
+        return out
+
     def search(self, queries: list[QuerySpec]) -> DataFrame:
         """(query_id, rank, doc_id, score) — rank-identical to the
-        exhaustive engine (match_mode='exact', okapi25)."""
+        exhaustive engine for both match modes (okapi25)."""
+        modes = {q.match_mode for q in queries}
+        assert len(modes) == 1, "mixed match modes: split the batch"
+        mode = modes.pop()
         qtoks: dict[int, dict[str, int]] = {}
         for q in queries:
-            toks = self._tokenize(q.text)
+            text = self._correct(q.text) if q.spell else q.text
+            toks = self._tokenize(text)
             mult: dict[str, int] = {}
             for t in toks:
                 mult[t] = mult.get(t, 0) + 1
             qtoks[q.query_id] = mult
-        all_terms = sorted({t for m in qtoks.values() for t in m})
+        uniq_qterms = {t for m in qtoks.values() for t in m}
+        if mode == "prefix":
+            expansions = self._expand_prefix(uniq_qterms)
+        else:
+            expansions = {t: [t] for t in uniq_qterms}
+        all_terms = sorted({t for ts in expansions.values() for t in ts})
         if not all_terms:
             return self.spark.createDataFrame(
                 [], "query_id long, rank int, doc_id long, score double"
@@ -285,15 +385,22 @@ class WandEngine:
         matched = shard.select(
             "term", "section", "docs_bin"
         ).mapInPandas(decode_docs, _DOCS_SCHEMA)
+        # (query_id, qterm, term) triples map expanded terms back to qterms
         qt_rows = [
-            (qid, t) for qid, m in qtoks.items() for t in m
+            (qid, qterm, term)
+            for qid, m in qtoks.items()
+            for qterm in m
+            for term in expansions.get(qterm, [])
         ]
-        qt = self.spark.createDataFrame(qt_rows, "query_id long, qterm string")
-        cand = (
-            matched.join(F.broadcast(qt), matched.term == qt.qterm)
-            .select("query_id", "doc_id")
-            .distinct()
+        if not qt_rows:
+            return self.spark.createDataFrame(
+                [], "query_id long, rank int, doc_id long, score double"
+            )
+        qt = self.spark.createDataFrame(
+            qt_rows, "query_id long, qterm string, term string"
         )
+        mq = matched.join(F.broadcast(qt), "term")
+        cand = mq.select("query_id", "doc_id").distinct()
         if self.deleted_df is not None:
             cand = cand.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
         dl_map = self._dl_map()
@@ -315,25 +422,34 @@ class WandEngine:
             for i, s in enumerate(self.sections)
         }
         n_cand = {r.query_id: r.n_cand for r in stats}
-        if self.deleted:
-            # the term_df table still counts deleted docs; recompute df for
-            # the query terms from the live matched stream (cheap: pruned)
-            live = matched
+
+        if mode == "prefix" or self.deleted:
+            # df = distinct docs over the (expanded, live) matched stream per
+            # (query, qterm) — `engine.py` dfq semantics
+            live = mq
             if self.deleted_df is not None:
-                live = live.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
+                live = live.join(
+                    F.broadcast(self.deleted_df), "doc_id", "left_anti"
+                )
             dfs = {
-                r.term: r.df
-                for r in live.groupBy("term")
+                (r.query_id, r.qterm): r.df
+                for r in live.groupBy("query_id", "qterm")
                 .agg(F.countDistinct("doc_id").alias("df"))
                 .collect()
             }
+
+            def df_of(qid: int, t: str):
+                return dfs.get((qid, t))
         else:
-            dfs = {
+            table = {
                 r.term: r.df
                 for r in self.term_df.filter(
                     F.col("term").isin(all_terms)
                 ).collect()
             }
+
+            def df_of(qid: int, t: str):
+                return table.get(t)
 
         # --- per-query scoring-term meta (weight = mult · idf · w_s) ------
         qmeta: dict[int, dict] = {}
@@ -341,7 +457,9 @@ class WandEngine:
             terms = {}
             nq = n_cand.get(q.query_id, 0)
             for t, mult in qtoks[q.query_id].items():
-                df = dfs.get(t)
+                if t not in expansions:
+                    continue
+                df = df_of(q.query_id, t)
                 if df is None or nq == 0:
                     continue
                 idf = float(np.log((nq - df + 0.5) / (df + 0.5) + 1.0))
@@ -349,10 +467,13 @@ class WandEngine:
                     a = avgdl.get((q.query_id, s))
                     if a is None or a == 0:
                         continue
-                    terms[(t, s)] = {"weight": mult * idf * w, "avgdl": a}
+                    terms[(t, s)] = {
+                        "weight": mult * idf * w,
+                        "avgdl": a,
+                        "expand": expansions[t],
+                    }
             qmeta[q.query_id] = {"terms": terms, "k": q.k}
 
-        sections = self.sections
         deleted = self.deleted
 
         # --- WAND pass per bucket -----------------------------------------
@@ -366,11 +487,21 @@ class WandEngine:
                 )
             out_q, out_d, out_s = [], [], []
             for qid, meta in qmeta.items():
-                lists = [
-                    _List(by_ts[ts], m["weight"], m["avgdl"])
-                    for ts, m in meta["terms"].items()
-                    if ts in by_ts
-                ]
+                lists = []
+                for (qterm, s), m in meta["terms"].items():
+                    runs = [
+                        _List(by_ts[(t, s)], m["weight"], m["avgdl"])
+                        for t in m["expand"]
+                        if (t, s) in by_ts
+                    ]
+                    if not runs:
+                        continue
+                    if len(runs) == 1:
+                        lists.append(runs[0])
+                    else:
+                        lists.append(
+                            _MergedList(runs, m["weight"], m["avgdl"])
+                        )
                 if not lists:
                     continue
                 k = meta["k"] if meta["k"] > 0 else 1 << 30

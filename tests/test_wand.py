@@ -104,3 +104,22 @@ def test_head_term_postings_split_across_buckets(spark, index_dir):
         .count()
     )
     assert n_buckets >= 6, f"head term '{top}' concentrated in {n_buckets} buckets"
+
+
+def test_wand_prefix_mode_matches_exhaustive(wand, exhaustive):
+    """Prefix matching (the reference's DEFAULT trie semantics) through the
+    merged-run WAND cursors must equal the exhaustive engine's prefix path,
+    including spell correction (quirk Q7)."""
+    from information_retrieval_spark.fixtures import make_queries
+
+    specs = [
+        QuerySpec(q.query_id, q.query_text, "okapi25", 10,
+                  spell=True, match_mode="prefix")
+        for q in make_queries(30)
+        if q.method == "okapi25"
+    ]
+    got = _rows(wand.search(specs))
+    want = _rows(exhaustive.search(specs))
+    assert set(got) == set(want), (set(got) ^ set(want))
+    for qid in want:
+        assert got[qid] == want[qid], f"query {qid}: {got[qid]} != {want[qid]}"
