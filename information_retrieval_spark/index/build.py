@@ -335,7 +335,12 @@ class IndexBuilder:
             specs = {
                 "postings_flat": "xxhash64(term, section, doc_id, tf)",
                 "doclen": "xxhash64(doc_id, section, dl)",
-                "packed": "xxhash64(term, section, bucket, block_id, docs_bin)",
+                # metadata-only hash: the block payloads are a pure function
+                # of postings_flat (hashed above); hashing the binary
+                # columns would re-read megabytes per partition for no
+                # added lineage coverage
+                "packed": "xxhash64(term, section, bucket, block_id, n,"
+                " first_doc, last_doc)",
             }
             for table, h in specs.items():
                 t = self.spark.read.parquet(self.path(table))
