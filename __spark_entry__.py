@@ -2,10 +2,9 @@
 
 ``queries()`` exposes the engine's operator battery over the driver testdata
 tables; ``oracle_sql()`` gives the DuckDB twin for every SQL-expressible op.
-Non-SQL-expressible entries (block-max WAND over the packed binary index,
-multimodal decode plumbing, HITS) intentionally omit the oracle — the driver
-records the weaker rows-only check and pytest covers them against the
-pure-Python oracle in ``tests/oracle.py``.
+Every entry carries a DuckDB value oracle — including HITS (unrolled CTEs
+with one-row norm subqueries) and the multimodal binary pipeline (the stub
+decoder is a pure function of sha256(payload), re-derivable in SQL).
 
 Column-name / rounding convention: every computed column is aliased
 identically on both sides; float score columns are rounded to 6 decimals
@@ -78,11 +77,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_json": events.q_event_json,
         # --- IR evaluation + multimodal plumbing ---------------------------
         "eval_metrics": metrics.q_eval_metrics,       # A10/A11
-        "media_features": multimodal.q_media_features, # binary cols (rows-only)
+        "media_features": multimodal.q_media_features, # binary cols pipeline
         # --- graph scoring -------------------------------------------------
         "pagerank": graph.q_pagerank,                 # G1 (fixed iters)
         "rank_fusion": graph.q_rank_fusion,           # F11/F12 (phase-3)
-        "hits": graph.q_hits,                         # G2 (rows-only check)
+        "hits": graph.q_hits,                         # G2
         # --- ML parity (G3/G5) ---------------------------------------------
         "naive_bayes": ml.q_naive_bayes,
         "kmeans": ml.q_kmeans,
@@ -126,13 +125,17 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": events.SQL_SESSIONIZE,
         "event_json": events.SQL_EVENT_JSON,
         "eval_metrics": metrics.SQL_EVAL_METRICS,
-        # "media_features": omitted (binary payload + stub decode UDF)
+        # the stub decoder is a pure function of sha256(payload), so the
+        # binary pipeline IS value-checkable — the twin re-derives the
+        # float32 features from the hex digest (multimodal._sql_media_features)
+        "media_features": multimodal.SQL_MEDIA_FEATURES,
         "pagerank": graph.SQL_PAGERANK,
         "rank_fusion": graph.SQL_RANK_FUSION,
         "naive_bayes": ml.SQL_NAIVE_BAYES,
         "user_knn": recsys.SQL_USER_KNN,
         "content_recs": recsys.SQL_CONTENT_RECS,
         "kmeans": ml.SQL_KMEANS,
-        # "hits": intentionally omitted (iterative global L2 normalization;
-        # rows-only check — pytest covers value correctness)
+        # per-iteration L2 norm is a one-row scalar CTE cross-join, same
+        # unrolling pattern as SQL_PAGERANK:
+        "hits": graph.SQL_HITS,
     }

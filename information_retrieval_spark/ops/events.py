@@ -94,7 +94,7 @@ sessions AS (
     sum(new_session) OVER (
       PARTITION BY user_id ORDER BY ts
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS session_id
+    )::BIGINT AS session_id
   FROM gapped
 )
 SELECT user_id, session_id, count(*) AS n_events,

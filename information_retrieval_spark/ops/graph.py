@@ -119,7 +119,13 @@ SQL_PAGERANK = _sql_pagerank()
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, hub_r, auth_r): HITS after N_ITERS iterations with L2
     normalization each step (`nx.hits` semantics, tol ignored — fixed
-    iteration count for determinism)."""
+    iteration count for determinism).
+
+    Outputs round to 7 decimals (not the usual 9): each iteration's L2
+    norm sums ~N squares in engine-dependent order, so cross-engine drift
+    after 2·N_ITERS normalizations is ~1e-13 — round-9 boundaries (5e-10)
+    would leave a small but real chance of a value-hash flake across the
+    whole vector; 5e-8 boundaries make it negligible."""
     e = edges_df(spark, sf_dir).cache()
     nodes = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     hubs = nodes.select("doc_id", F.lit(1.0).alias("hub"))
@@ -130,27 +136,81 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("hub").alias("auth"))
         )
         anorm = auth.agg(F.sqrt(F.sum(F.col("auth") ** 2)).alias("z")).collect()[0].z
-        auth = auth.select(F.col("dst"), (F.col("auth") / anorm).alias("auth"))
+        auth = auth.select(F.col("dst").alias("adst"), (F.col("auth") / anorm).alias("auth"))
         hub = (
-            e.join(auth, e.dst == auth.dst)
+            e.join(auth, e.dst == auth.adst)
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
         )
         hnorm = hub.agg(F.sqrt(F.sum(F.col("hub") ** 2)).alias("z")).collect()[0].z
         hubs = hub.select(F.col("src").alias("doc_id"), (F.col("hub") / hnorm).alias("hub"))
         hubs = hubs.localCheckpoint()
-        auths = auth.select(F.col("dst").alias("doc_id"), "auth").localCheckpoint()
+        auths = auth.select(F.col("adst").alias("doc_id"), "auth").localCheckpoint()
     out = (
         nodes.join(hubs, "doc_id", "left")
         .join(auths, "doc_id", "left")
         .select(
             "doc_id",
-            F.round(F.coalesce("hub", F.lit(0.0)), 9).alias("hub_r"),
-            F.round(F.coalesce("auth", F.lit(0.0)), 9).alias("auth_r"),
+            F.round(F.coalesce("hub", F.lit(0.0)), 7).alias("hub_r"),
+            F.round(F.coalesce("auth", F.lit(0.0)), 7).alias("auth_r"),
         )
     )
     e.unpersist()
     return out
+
+
+def _sql_hits() -> str:
+    """DuckDB twin of q_hits: N_ITERS unrolled, each iteration a grouped
+    sum plus a one-row L2-norm CTE (same pattern as SQL_PAGERANK — the
+    'iterative global normalization' is just a scalar cross-join per
+    step). Joins/normalizations mirror the Spark loop exactly: auth from
+    hubs over src-edges, hub from normalized auth over dst-edges.
+
+    Every CTE is MATERIALIZED: most are referenced twice per iteration, and
+    DuckDB's default inlining re-expands each reference — across 10 chained
+    iterations that's exponential plan growth (observed as a too-many-open-
+    files explosion of repeated parquet scans)."""
+    cte = [
+        f"e AS MATERIALIZED ({SQL_EDGES})",
+        "h0 AS MATERIALIZED (SELECT doc_id, 1.0::DOUBLE AS hub FROM documents)",
+    ]
+    for i in range(1, N_ITERS + 1):
+        p = i - 1
+        cte.append(
+            f"a{i} AS MATERIALIZED (SELECT e.dst, sum(h.hub) AS auth"
+            f" FROM e JOIN h{p} h ON e.src = h.doc_id GROUP BY e.dst)"
+        )
+        cte.append(
+            f"az{i} AS MATERIALIZED (SELECT sqrt(sum(auth * auth)) AS z FROM a{i})"
+        )
+        cte.append(
+            f"an{i} AS MATERIALIZED"
+            f" (SELECT dst, auth / z AS auth FROM a{i} CROSS JOIN az{i})"
+        )
+        cte.append(
+            f"hh{i} AS MATERIALIZED (SELECT e.src, sum(an.auth) AS hub"
+            f" FROM e JOIN an{i} an ON e.dst = an.dst GROUP BY e.src)"
+        )
+        cte.append(
+            f"hz{i} AS MATERIALIZED (SELECT sqrt(sum(hub * hub)) AS z FROM hh{i})"
+        )
+        cte.append(
+            f"h{i} AS MATERIALIZED (SELECT src AS doc_id, hub / z AS hub"
+            f" FROM hh{i} CROSS JOIN hz{i})"
+        )
+    return (
+        "WITH " + ",\n".join(cte) + f"""
+SELECT d.doc_id,
+       round(coalesce(h.hub, 0.0), 7) AS hub_r,
+       round(coalesce(a.auth, 0.0), 7) AS auth_r
+FROM documents d
+LEFT JOIN h{N_ITERS} h ON d.doc_id = h.doc_id
+LEFT JOIN an{N_ITERS} a ON d.doc_id = a.dst
+"""
+    )
+
+
+SQL_HITS = _sql_hits()
 
 
 # ------------------------------------------------------------- rank fusion

@@ -148,8 +148,16 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver entry (rows-only check: binary/UDF pipeline, not ANSI-SQL-
-    expressible): per-media feature stats."""
+    """Driver entry: per-media feature stats over the binary pipeline.
+
+    Value-checkable against DuckDB (SQL_MEDIA_FEATURES) because the stub
+    decoder is a pure function of sha256(payload): the twin re-derives the
+    16 float32 features from the hex digest (LE uint32 % 10000 / 10000,
+    quantized ``::FLOAT`` — verified bit-identical to the numpy float32
+    path for all 10k possible values) and folds them in the same order as
+    ``F.aggregate``'s left fold. A real (non-stub) decoder would drop the
+    oracle back to rows-only — the plumbing being checked here (schema,
+    Arrow batching, payload drop) is decoder-independent."""
     feats = extract_features(media_table(spark, sf_dir))
     return feats.select(
         "doc_id",
@@ -160,3 +168,38 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum_r"),
     )
+
+
+def _sql_media_features() -> str:
+    """DuckDB twin of q_media_features. The digest repeats (h*2)[:64], so
+    features 8..15 equal features 0..7; the fold order (f0..f7, f0..f7)
+    mirrors Spark's left-to-right ``F.aggregate``. Byte k of the digest is
+    hex chars (2k+1, 2k+2); a LE uint32 at offset 4i reverses bytes
+    4i+3..4i."""
+    terms = []
+    for i in range(8):
+        j = 4 * i
+        le_hex = " || ".join(
+            f"substr(payload_sha256, {2 * (j + b) + 1}, 2)" for b in (3, 2, 1, 0)
+        )
+        terms.append(
+            f"((('0x' || {le_hex})::BIGINT % 10000) / 10000.0)::FLOAT::DOUBLE"
+        )
+    fold = " + ".join(["0.0"] + terms + terms)
+    return f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         (4 + octet_length(encode(text)))::INTEGER AS n_bytes,
+         sha256('IMG0' || text) AS payload_sha256
+  FROM documents
+)
+SELECT doc_id, media_type, n_bytes, payload_sha256,
+       round({fold}, 6) AS feat_sum_r
+FROM m
+"""
+
+
+SQL_MEDIA_FEATURES = _sql_media_features()

@@ -84,5 +84,7 @@ def test_hits_l2_normalized(spark):
     rows = q_hits(spark, SF).collect()
     hub2 = sum(r.hub_r ** 2 for r in rows)
     auth2 = sum(r.auth_r ** 2 for r in rows)
-    assert hub2 == pytest.approx(1.0, rel=1e-6)
-    assert auth2 == pytest.approx(1.0, rel=1e-6)
+    # outputs round to 7 decimals (cross-engine oracle headroom), so the
+    # reconstructed norm carries ~sqrt(N)*5e-8 of rounding noise
+    assert hub2 == pytest.approx(1.0, rel=1e-5)
+    assert auth2 == pytest.approx(1.0, rel=1e-5)
