@@ -15,12 +15,16 @@ Scale notes (100 TB):
 * exact: one hash-agg shuffle on a 16-byte key — the canonical first pass.
 * minhash: signatures are per-doc maps (no shuffle); the band self-join
   shuffles on (band, bucket-hash) — bucket sizes are the skew hazard, so
-  production adds a bucket-size cap (`HAVING count < cap`) exactly like the
-  head-term salting in the index build; pairs never materialize beyond
-  candidate verification.
-* jaccard: the shingle self-join explodes on hot shingles — we pre-filter
-  shingles by df (drop shingles in > max_df docs), the standard
-  "common-shingle suppression" that bounds join fan-out.
+  buckets larger than MAX_BAND_BUCKET bypass the quadratic self-join and
+  emit star pairs (bucket-min doc ↔ each member) instead: a 1M-doc
+  exact-duplicate cluster costs 1M−1 rows, not 10¹² — connectivity of the
+  duplicate cluster is preserved for the downstream union-find/verify.
+* jaccard: the shingle self-join explodes on hot shingles — we drop
+  shingles with df > max_df via a LEFT ANTI join against a broadcast of
+  the HOT shingle list (tiny by construction: ≤ |corpus|/max_df entries),
+  the standard "common-shingle suppression" that bounds join fan-out.
+  Broadcasting the kept (cold) set would be vocabulary-sized — the wrong
+  side at 100 TB.
 
 All hashing is the engine-portable md5-based ``portable_hash32`` so the
 DuckDB oracle reproduces bucket assignments bit-for-bit.
@@ -37,6 +41,7 @@ N_BANDS = 4  # rows per band = N_HASHES / N_BANDS = 4
 SHINGLE_W = 3
 JACCARD_TAU = 0.5
 MAX_SHINGLE_DF = 50  # suppress shingles present in > this many docs
+MAX_BAND_BUCKET = 64  # LSH buckets above this emit star pairs, not all-pairs
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,13 +100,15 @@ SQL_SHINGLES = f"""
 
 # ------------------------------------------------------------------ minhash
 
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hash_id, minhash): 16 portable min-hashes per doc.
+def minhash_signatures(d: DataFrame) -> DataFrame:
+    """(doc_id, hash_id, minhash) over a (doc_id, text) DataFrame.
     Each hash_id h uses min over shingles of hash32(h || '#' || shingle).
     Computed as shingles × 16-row literal hash-id table → groupBy(doc_id,
     hash_id) min — a single shuffle keyed (doc_id, hash_id)."""
-    sh = _shingles(_docs(spark, sf_dir))
-    hid = spark.range(N_HASHES).select(F.col("id").cast("int").alias("hash_id"))
+    sh = _shingles(d)
+    hid = d.sparkSession.range(N_HASHES).select(
+        F.col("id").cast("int").alias("hash_id")
+    )
     ex = sh.crossJoin(F.broadcast(hid))
     hv = portable_hash32(
         F.concat(F.col("hash_id").cast("string"), F.lit("#"), F.col("shingle"))
@@ -111,6 +118,11 @@ def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "hash_id")
         .agg(F.min("hv").alias("minhash"))
     )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: 16 portable min-hashes per document."""
+    return minhash_signatures(_docs(spark, sf_dir))
 
 
 SQL_MINHASH_SIG = f"""
@@ -125,11 +137,20 @@ GROUP BY doc_id, hash_id
 """
 
 
-def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(d: DataFrame, cap: int = MAX_BAND_BUCKET) -> DataFrame:
     """(a, b): LSH candidate pairs — docs sharing ≥1 identical band of 4
-    consecutive minhashes. Band key = hash of the 4 signature values; the
-    self-join shuffles on (band, key) only."""
-    sig = q_minhash_signatures(spark, sf_dir).withColumn(
+    consecutive minhashes, over a (doc_id, text) DataFrame.
+
+    Skew guard: band-bucket sizes are computed first (one agg on the same
+    (band, band_key) grain the self-join shuffles on, so the exchange is
+    reused). Buckets ≤ ``cap`` go through the pair self-join; larger
+    buckets — near-certain duplicate clusters — emit star pairs
+    (bucket-min doc, member) instead, bounding the output at O(|bucket|)
+    and keeping the duplicate cluster connected for downstream
+    verification/union-find. Star pairs keep the a < b orientation since
+    the hub is the bucket minimum.
+    """
+    sig = minhash_signatures(d).withColumn(
         "band", (F.col("hash_id") / (N_HASHES // N_BANDS)).cast("int")
     )
     bands = sig.groupBy("doc_id", "band").agg(
@@ -137,9 +158,16 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.format_string("%02d:%d", "hash_id", "minhash")
         ))).alias("band_key")
     )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
+    bsize = bands.groupBy("band", "band_key").agg(
+        F.count("*").alias("bucket_n"), F.min("doc_id").alias("min_doc")
+    )
+    sized = bands.join(bsize, ["band", "band_key"])
+    small = sized.filter(F.col("bucket_n") <= cap).select(
+        "doc_id", "band", "band_key"
+    )
+    a = small.alias("a")
+    b = small.alias("b")
+    pairs_small = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -147,9 +175,19 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("a"), F.col("b.doc_id").alias("b"))
-        .distinct()
     )
-    return pairs
+    pairs_star = (
+        sized.filter(
+            (F.col("bucket_n") > cap) & (F.col("doc_id") != F.col("min_doc"))
+        )
+        .select(F.col("min_doc").alias("a"), F.col("doc_id").alias("b"))
+    )
+    return pairs_small.unionByName(pairs_star).distinct()
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: LSH candidate pairs over documents."""
+    return minhash_pairs(_docs(spark, sf_dir))
 
 
 SQL_MINHASH_PAIRS = f"""
@@ -160,10 +198,25 @@ bands AS (
       list_sort(list(format('{{:02d}}:{{}}', hash_id, minhash))), ','
     ) AS band_key
   FROM sig GROUP BY doc_id, band
+),
+bsize AS (
+  SELECT band, band_key, count(*) AS bucket_n, min(doc_id) AS min_doc
+  FROM bands GROUP BY band, band_key
+),
+small AS (
+  SELECT b.doc_id, b.band, b.band_key
+  FROM bands b JOIN bsize s ON b.band = s.band AND b.band_key = s.band_key
+  WHERE s.bucket_n <= {MAX_BAND_BUCKET}
 )
-SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+SELECT DISTINCT a, b FROM (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM small a JOIN small b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  UNION ALL
+  SELECT s.min_doc AS a, b.doc_id AS b
+  FROM bands b JOIN bsize s ON b.band = s.band AND b.band_key = s.band_key
+  WHERE s.bucket_n > {MAX_BAND_BUCKET} AND b.doc_id <> s.min_doc
+)
 """
 
 
@@ -240,21 +293,24 @@ SELECT doc_id, ({_SQL_SIMHASH_SEL})::BIGINT AS simhash FROM bits
 
 # ----------------------------------------------------------- exact Jaccard
 
-def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(a, b, jaccard_r): exact word-3-shingle Jaccard for pairs ≥ τ.
+def jaccard_pairs(d: DataFrame) -> DataFrame:
+    """(a, b, jaccard_r): exact word-3-shingle Jaccard for pairs ≥ τ, over
+    a (doc_id, text) DataFrame.
 
     Inverted-index self-join: shingle → docs (df-capped to suppress hot
     shingles), pair-count intersection, |A∪B| = |A|+|B|−|∩|. The df cap
     bounds per-shingle fan-out to MAX_SHINGLE_DF² pairs — the knob that
-    keeps this join feasible at corpus scale.
+    keeps this join feasible at corpus scale. The cap is applied as a
+    LEFT ANTI join against a broadcast of the HOT shingles (df > cap):
+    that list is at most |total shingle occurrences| / cap entries —
+    small by construction — whereas the kept (cold) set is the whole
+    shingle vocabulary and must never be broadcast.
     """
-    sh = _shingles(_docs(spark, sf_dir))
+    sh = _shingles(d)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sdf = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    keep = sh.join(
-        F.broadcast(sdf.filter(F.col("sdf") <= MAX_SHINGLE_DF).select("shingle")),
-        "shingle",
-    )
+    hot = sdf.filter(F.col("sdf") > MAX_SHINGLE_DF).select("shingle")
+    keep = sh.join(F.broadcast(hot), "shingle", "left_anti")
     a = keep.alias("a")
     b = keep.alias("b")
     inter = (
@@ -275,6 +331,11 @@ def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jac") >= JACCARD_TAU)
     )
     return out.select("a", "b", F.round("jac", 6).alias("jaccard_r"))
+
+
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: exact n-gram Jaccard pairs over documents."""
+    return jaccard_pairs(_docs(spark, sf_dir))
 
 
 SQL_JACCARD_PAIRS = f"""

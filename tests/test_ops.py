@@ -127,3 +127,48 @@ def test_ivf_recall_against_brute_force(spark):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.8, f"IVF (2/4 probes) recall collapsed: {recall}"
+
+
+def test_lsh_band_bucket_cap_star_pairs(spark):
+    """A large identical-doc cluster must NOT go through the quadratic
+    band self-join: over-cap buckets emit star pairs (min-doc hub), so a
+    1.2k-doc cluster yields 1,199 pairs, not ~719k — while staying fully
+    connected through the hub for downstream union-find."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.ops import dedup
+
+    n_dup = 1200
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, text) for i in range(n_dup)]
+    rows += [(n_dup + i, f"totally unrelated document number {i} "
+                         f"with its own distinct words {i * 7}")
+             for i in range(5)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_pairs(d).collect()
+    cluster = {(r.a, r.b) for r in pairs if r.a < n_dup and r.b < n_dup}
+    assert cluster == {(0, i) for i in range(1, n_dup)}
+    # nothing bridges the identical cluster and the unrelated tail
+    assert not any(r.a < n_dup <= r.b for r in pairs)
+    # sub-cap path still does exact all-pairs: 3 identical docs -> 3 pairs
+    small = spark.createDataFrame(
+        [(i, text) for i in range(3)], "doc_id long, text string"
+    )
+    got_small = {(r.a, r.b) for r in dedup.minhash_pairs(small).collect()}
+    assert got_small == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_jaccard_hot_shingle_anti_join_is_broadcast(spark):
+    """The df-cap must be applied by broadcasting the HOT shingle list as
+    a left-anti join (broadcasting the kept vocabulary is the 100 TB
+    mistake), and hot shingles must not contribute to the intersection."""
+    from information_retrieval_spark.ops import dedup
+
+    d = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(2)],
+        "doc_id long, text string",
+    )
+    plan = dedup.jaccard_pairs(d)._jdf.queryExecution().toString()
+    assert "LeftAnti" in plan
+    # the broadcast hint must sit on the anti-join's build (hot) side
+    assert "ResolvedHint" in plan or "BroadcastHashJoin" in plan
