@@ -47,11 +47,33 @@ class IndexMaintenance:
     def add_documents(self, delta: DataFrame) -> int:
         """Append postings/doclen for new docs; incrementally merge term_df
         and stats. New doc_ids must not collide with existing ones (caller
-        contract, as in the reference's add_document)."""
+        contract, as in the reference's add_document).
+
+        Implemented as stage → commit (``stage_add`` + ``commit_add``) so a
+        crash mid-apply never leaves the live tables merged twice: all
+        derived outputs land in a staging directory first, and the commit
+        step is redoable (streaming replays resume it, see
+        ``streaming/ingest.py``)."""
+        import shutil
+
+        stage = self._p("__stage_add")
+        if os.path.isdir(stage):
+            shutil.rmtree(stage)  # stale partial stage from a dead run
+        n_add = self.stage_add(delta, stage)
+        self.commit_add(stage)
+        shutil.rmtree(stage)
+        return n_add
+
+    def stage_add(self, delta: DataFrame, stage_dir: str) -> int:
+        """Compute EVERY output of an add — delta postings/doclen plus the
+        fully merged term_df/vocab/stats — into ``stage_dir`` without
+        touching a live table. Finishes by writing a ``_STAGED`` marker;
+        a stage without the marker is partial and must be discarded."""
         spark = self.spark
         sections = self.config["sections"]
         tokenizer = self.config["tokenizer"]
         n_buckets = self.config.get("n_buckets", 8)
+        os.makedirs(stage_dir, exist_ok=True)
 
         tokens = tokenize_corpus(delta, sections, tokenizer)
         stop = spark.read.parquet(self._p("stopwords")).select("term")
@@ -66,10 +88,13 @@ class IndexMaintenance:
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
             )
         )
-        tf.write.mode("append").parquet(self._p("postings_flat"))
+        tf.write.mode("overwrite").parquet(
+            os.path.join(stage_dir, "postings_delta")
+        )
+        tf = spark.read.parquet(os.path.join(stage_dir, "postings_delta"))
 
         dl = ns.groupBy("doc_id", "section").agg(F.count("*").alias("dl"))
-        dl.write.mode("append").parquet(self._p("doclen"))
+        dl.write.mode("overwrite").parquet(os.path.join(stage_dir, "doclen_delta"))
 
         # incremental term_df: old ∪ delta, summed (delta docs are new, so
         # df contributions add)
@@ -80,9 +105,7 @@ class IndexMaintenance:
             .groupBy("term")
             .agg(F.sum("df").alias("df"))
         )
-        tmp = self._p("term_df__new")
-        merged.write.mode("overwrite").parquet(tmp)
-        self._swap("term_df")
+        merged.write.mode("overwrite").parquet(os.path.join(stage_dir, "term_df"))
 
         # vocab: distinct union
         vocab = (
@@ -90,17 +113,59 @@ class IndexMaintenance:
             .unionByName(tokens.select("term").distinct())
             .distinct()
         )
-        vocab.write.mode("overwrite").parquet(self._p("vocab__new"))
-        self._swap("vocab")
+        vocab.write.mode("overwrite").parquet(os.path.join(stage_dir, "vocab"))
 
         # stats: n_docs += delta count
         import pandas as pd
 
         n_add = delta.count()
-        stats_file = os.path.join(self._p("stats"), "stats.parquet")
-        st = pd.read_parquet(stats_file)
+        st = pd.read_parquet(os.path.join(self._p("stats"), "stats.parquet"))
         st["n_docs"] = st["n_docs"] + n_add
-        st.to_parquet(stats_file)
+        st.to_parquet(os.path.join(stage_dir, "stats.parquet"))
+
+        with open(os.path.join(stage_dir, "_STAGED"), "w") as f:
+            f.write(str(n_add))
+        return n_add
+
+    @staticmethod
+    def is_staged(stage_dir: str) -> bool:
+        return os.path.exists(os.path.join(stage_dir, "_STAGED"))
+
+    def commit_add(self, stage_dir: str) -> None:
+        """Fold a completed stage into the live index. Every step is
+        redoable: delta files move skip-if-already-moved (Spark part names
+        are unique), table swaps skip when the staged source is gone
+        (already swapped), and the repack is deterministic from the live
+        postings — so an interrupted commit re-run from the SAME frozen
+        stage converges to the same index. Single-writer assumption: a
+        reader racing the swap can observe a table mid-replace; a
+        production deployment puts a transactional table format under
+        these swaps."""
+        import shutil
+
+        assert self.is_staged(stage_dir), "refusing to commit a partial stage"
+        for tbl, sub in (
+            ("postings_flat", "postings_delta"),
+            ("doclen", "doclen_delta"),
+        ):
+            sdir = os.path.join(stage_dir, sub)
+            for fn in sorted(os.listdir(sdir)):
+                if not fn.endswith(".parquet"):
+                    continue
+                src = os.path.join(sdir, fn)
+                dst = os.path.join(self._p(tbl), fn)
+                if os.path.exists(src):
+                    os.replace(src, dst)
+        for tbl in ("term_df", "vocab"):
+            src = os.path.join(stage_dir, tbl)
+            if os.path.isdir(src):
+                live = self._p(tbl)
+                if os.path.isdir(live):
+                    shutil.rmtree(live)
+                os.replace(src, live)
+        sstats = os.path.join(stage_dir, "stats.parquet")
+        if os.path.exists(sstats):
+            os.replace(sstats, os.path.join(self._p("stats"), "stats.parquet"))
 
         # repack from the appended flat postings: WAND's cursors require one
         # sorted, non-overlapping block run per (term, section, bucket), so
@@ -108,8 +173,7 @@ class IndexMaintenance:
         # corpus size) and skips the expensive stage — re-tokenization.
         from information_retrieval_spark.index.pack import pack_index
 
-        pack_index(spark, self.index_dir)
-        return n_add
+        pack_index(self.spark, self.index_dir)
 
     def _swap(self, table: str) -> None:
         import shutil

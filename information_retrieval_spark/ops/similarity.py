@@ -131,12 +131,17 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "tbl", "bit")
         .agg(F.sum(F.col("x") * F.col("coef")).alias("p"))
     )
+    # sign test on round(p, 9): float addition is non-associative, so a
+    # projection that is mathematically 0 (± 1 ulp of engine-dependent sum
+    # noise) would otherwise flip its bucket bit between Spark and DuckDB;
+    # rounding first pins such values to bit 0 in both engines
     return (
         proj.groupBy("vec_id", "tbl")
         .agg(
             F.sum(
                 F.when(
-                    F.col("p") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+                    F.round(F.col("p"), 9) > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), bit)"),
                 ).otherwise(0)
             ).alias("bucket")
         )
@@ -163,7 +168,7 @@ proj AS (
   GROUP BY c.vec_id, p.tbl, p.bit
 )
 SELECT vec_id, tbl,
-       sum(CASE WHEN p > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
+       sum(CASE WHEN round(p, 9) > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
 FROM proj GROUP BY vec_id, tbl
 """
 

@@ -228,8 +228,14 @@ def _wand_query(
                 item = (score, -pivot)
                 if len(heap) < k:
                     heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
+                else:
+                    # mirror the final (-round(score,9), doc_id) ordering at
+                    # the eviction point too: raw scores within ε are ties
+                    # (they round equal downstream) and the LOWER doc_id must
+                    # survive — raw comparison alone could evict it
+                    d = score - heap[0][0]
+                    if d > 1e-12 or (d > -1e-12 and item[1] > heap[0][1]):
+                        heapq.heapreplace(heap, item)
         else:
             # advance the laggard(s) to the pivot, skipping blocks
             lists[0].seek(pivot)
@@ -320,10 +326,15 @@ class WandEngine:
         """qterm → matching postings terms (prefix semantics,
         `trie/phase1.py:17-36`): every indexed term the qterm prefixes,
         GATED on the exact term existing (`has_exact` in engine._matched).
-        One pushed-filter scan of the term dictionary."""
+        One pushed-filter scan of the term dictionary. Under logical
+        deletes the gate is re-checked against the LIVE matched stream in
+        ``search`` (term_df is only refreshed at compact, so a fully
+        deleted exact term must still suppress its expansion)."""
         from functools import reduce
         from operator import or_
 
+        if not qterms:
+            return {}
         cond = reduce(or_, [F.col("term").startswith(t) for t in qterms])
         terms = [r.term for r in self.term_df.filter(cond).collect()]
         out: dict[str, list[str]] = {}
@@ -400,9 +411,29 @@ class WandEngine:
             qt_rows, "query_id long, qterm string, term string"
         )
         mq = matched.join(F.broadcast(qt), "term")
-        cand = mq.select("query_id", "doc_id").distinct()
-        if self.deleted_df is not None:
-            cand = cand.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
+        live_mq = (
+            mq.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
+            if self.deleted_df is not None
+            else mq
+        )
+        if mode == "prefix" and self.deleted:
+            # re-check the has_exact gate against LIVE postings, exactly as
+            # engine._matched does and BEFORE candidate stats: a fully
+            # deleted exact term must suppress its whole expansion,
+            # including its docs' contribution to Q1 n_cand / Q2 avgdl.
+            # (Without deletes, _expand_prefix's term_df gate is equivalent.)
+            wge = Window.partitionBy("query_id", "qterm")
+            live_mq = (
+                live_mq.withColumn(
+                    "has_exact",
+                    F.max((F.col("term") == F.col("qterm")).cast("int")).over(
+                        wge
+                    ),
+                )
+                .filter(F.col("has_exact") == 1)
+                .drop("has_exact")
+            )
+        cand = live_mq.select("query_id", "doc_id").distinct()
         dl_map = self._dl_map()
         sec_avgs = [
             F.avg(
@@ -410,46 +441,65 @@ class WandEngine:
             ).alias(f"avgdl_{i}")
             for i, s in enumerate(self.sections)
         ]
-        stats = (
+        stats_agg = (
             cand.join(dl_map, "doc_id", "left")
             .groupBy("query_id")
             .agg(F.count("*").alias("n_cand"), *sec_avgs)
-            .collect()
         )
-        avgdl = {
-            (r.query_id, s): r[f"avgdl_{i}"]
-            for r in stats
-            for i, s in enumerate(self.sections)
-        }
-        n_cand = {r.query_id: r.n_cand for r in stats}
-
-        if mode == "prefix" or self.deleted:
-            # df = distinct docs over the (expanded, live) matched stream per
-            # (query, qterm) — `engine.py` dfq semantics
-            live = mq
-            if self.deleted_df is not None:
-                live = live.join(
-                    F.broadcast(self.deleted_df), "doc_id", "left_anti"
-                )
-            dfs = {
-                (r.query_id, r.qterm): r.df
-                for r in live.groupBy("query_id", "qterm")
-                .agg(F.countDistinct("doc_id").alias("df"))
-                .collect()
-            }
-
-            def df_of(qid: int, t: str):
-                return dfs.get((qid, t))
+        # df sub-plan: per-(query, qterm) over the LIVE (gated) expanded
+        # stream when prefix expansion or deletes make term_df stale
+        # (`engine.py` dfq semantics); otherwise the global term_df table
+        # (tiny pushed-filter scan). A qterm with no live group simply never
+        # appears → df_of returns None → the term is skipped.
+        per_query_df = mode == "prefix" or bool(self.deleted)
+        if per_query_df:
+            df_agg = live_mq.groupBy("query_id", "qterm").agg(
+                F.countDistinct("doc_id").alias("df")
+            )
         else:
-            table = {
-                r.term: r.df
-                for r in self.term_df.filter(
-                    F.col("term").isin(all_terms)
-                ).collect()
-            }
+            df_agg = self.term_df.filter(F.col("term").isin(all_terms)).select(
+                F.lit(None).cast("long").alias("query_id"),
+                F.col("term").alias("qterm"),
+                F.col("df").cast("long").alias("df"),
+            )
+        # ONE driver job for the whole pre-pass: the stats and df aggregates
+        # are tagged and unioned so the batch pays a single round of job
+        # scheduling (the sequential-collects latency floor flagged in
+        # round 1), both reading the same cached shard
+        avg_cols = [f"avgdl_{i}" for i in range(len(self.sections))]
+        pre = stats_agg.select(
+            F.lit("stats").alias("kind"),
+            "query_id",
+            F.lit(None).cast("string").alias("qterm"),
+            F.lit(None).cast("long").alias("df"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            *[F.col(c).cast("double").alias(c) for c in avg_cols],
+        ).unionByName(
+            df_agg.select(
+                F.lit("df").alias("kind"),
+                "query_id",
+                "qterm",
+                "df",
+                F.lit(None).cast("long").alias("n_cand"),
+                *[F.lit(None).cast("double").alias(c) for c in avg_cols],
+            )
+        )
+        avgdl: dict = {}
+        n_cand: dict = {}
+        dfs: dict = {}
+        table: dict = {}
+        for r in pre.collect():
+            if r.kind == "stats":
+                n_cand[r.query_id] = r.n_cand
+                for i, s in enumerate(self.sections):
+                    avgdl[(r.query_id, s)] = r[f"avgdl_{i}"]
+            elif r.query_id is None:
+                table[r.qterm] = r.df
+            else:
+                dfs[(r.query_id, r.qterm)] = r.df
 
-            def df_of(qid: int, t: str):
-                return table.get(t)
+        def df_of(qid: int, t: str):
+            return dfs.get((qid, t)) if per_query_df else table.get(t)
 
         # --- per-query scoring-term meta (weight = mult · idf · w_s) ------
         qmeta: dict[int, dict] = {}

@@ -9,10 +9,17 @@ Spark-native composition of that capability with a streaming source:
       └─ foreachBatch ► IndexMaintenance.add_documents(batch)
 
 Delivery semantics: Structured Streaming's file source + checkpoint gives
-at-least-once batch delivery to ``foreachBatch``; ``add_documents`` is NOT
-idempotent (it appends postings), so an applied-batch ledger
-(``<index_dir>/stream_batches.json``) makes replays no-ops — the standard
-foreachBatch idempotence pattern (batchId-keyed commits).
+at-least-once batch delivery to ``foreachBatch``. Exactly-once application
+is achieved with stage → commit plus a batchId ledger
+(``<index_dir>/stream_batches.json``):
+
+* each batch's outputs are STAGED under ``<index_dir>/__stage_batch_<id>``
+  without touching live tables (``IndexMaintenance.stage_add``);
+* the commit (``commit_add``) is redoable — on replay after a crash
+  mid-commit, the frozen stage is re-committed to the same result;
+* a replay after the ledger write is a pure no-op; a crash mid-STAGING
+  leaves no live-table effects, so the partial stage is discarded and
+  rebuilt.
 
 Use ``trigger(availableNow=True)`` for catch-up/batch-drain runs (tests do
 this) or a processing-time trigger for continuous operation.
@@ -75,13 +82,31 @@ def run_incremental_indexing(
     stream = spark.readStream.schema(schema).parquet(watch_dir)
 
     def handle(batch_df, batch_id: int) -> None:
+        import shutil
+
+        stage = os.path.join(index_dir, f"__stage_batch_{int(batch_id)}")
         if int(batch_id) in _applied(index_dir):
-            return  # replay after crash/restart: already committed
-        if batch_df.isEmpty():
-            _mark_applied(index_dir, batch_id)
+            # replay after the ledger write: drop any leftover stage dir
+            if os.path.isdir(stage):
+                shutil.rmtree(stage)
             return
-        IndexMaintenance(spark, index_dir).add_documents(batch_df)
+        maint = IndexMaintenance(spark, index_dir)
+        if IndexMaintenance.is_staged(stage):
+            # crash happened during/after commit but before the ledger
+            # write: finish committing the FROZEN stage (never re-stage —
+            # the staged term_df/stats were merged against the pre-batch
+            # tables, so rebuilding after a partial commit would double-add)
+            maint.commit_add(stage)
+        else:
+            if os.path.isdir(stage):
+                shutil.rmtree(stage)  # partial stage: no live effects yet
+            if batch_df.isEmpty():
+                _mark_applied(index_dir, batch_id)
+                return
+            maint.stage_add(batch_df, stage)
+            maint.commit_add(stage)
         _mark_applied(index_dir, batch_id)
+        shutil.rmtree(stage)
 
     writer = (
         stream.writeStream.foreachBatch(handle)

@@ -109,3 +109,47 @@ def test_remove_then_compact(spark, tmp_path_factory):
     assert not os.path.exists(f"{d}/deleted_docs")
     assert _results(SearchEngine(spark, d)) == want
     assert _results(WandEngine(spark, d)) == want
+
+
+def test_prefix_gate_respects_deletes(spark, tmp_path_factory):
+    """Prefix expansion is gated on the exact term having a LIVE posting:
+    if every doc containing the exact term is deleted, both engines must
+    suppress the expansion (and its docs' contribution to candidate
+    stats), not fall back to the stale term_df gate."""
+    rows = [
+        (1, "r", "file1.py", "c", "py", "alpha alphabet beta"),
+        (2, "r", "file2.py", "c", "py", "alphabet gamma beta"),
+        (3, "r", "file3.py", "c", "py", "alpha delta beta"),
+        (4, "r", "file4.py", "c", "py", "alphabetic beta zeta"),
+        (5, "r", "file5.py", "c", "py", "gamma zeta beta delta"),
+    ]
+    d = spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, lang string,"
+        " content string",
+    )
+    idx = str(tmp_path_factory.mktemp("prefdel"))
+    IndexBuilder(spark, idx, SECTIONS, tokenizer="code", stop_k=1).build(d)
+    IndexMaintenance(spark, idx).remove_documents([1, 3])  # all exact-"alpha"
+
+    specs = [
+        QuerySpec(1, "alpha", "okapi25", 10, spell=False, match_mode="prefix"),
+        QuerySpec(2, "gamma", "okapi25", 10, spell=False, match_mode="prefix"),
+        QuerySpec(3, "alpha gamma", "okapi25", 10, spell=False,
+                  match_mode="prefix"),
+    ]
+
+    def res(engine):
+        out = {}
+        for r in engine.search(specs).collect():
+            out.setdefault(r.query_id, []).append(
+                (r.rank, r.doc_id, round(r.score, 9))
+            )
+        for v in out.values():
+            v.sort()
+        return out
+
+    want = res(SearchEngine(spark, idx))
+    got = res(WandEngine(spark, idx))
+    assert 1 not in want, "exhaustive engine must gate the dead exact term"
+    assert got == want

@@ -82,3 +82,55 @@ def test_streaming_ingest_matches_batch_build(spark, tmp_path):
     run_incremental_indexing(spark, idx, str(watch), cp)
     assert spark.read.parquet(f"{idx}/postings_flat").count() == n_docs_before
     assert os.path.exists(f"{idx}/stream_batches.json")
+
+
+def test_crash_mid_commit_recovers_exactly_once(spark, tmp_path):
+    """Simulate a crash halfway through commit_add (some delta files moved,
+    aggregate swaps not done, ledger unwritten): the replay must RESUME the
+    frozen stage — not re-stage — and converge to the fresh-build answer
+    with no double-applied postings."""
+    from information_retrieval_spark.index.maintenance import IndexMaintenance
+
+    rows = corpus_rows(150)
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    IndexBuilder(spark, idx, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:100])
+    )
+    stop = [
+        r.term
+        for r in spark.read.parquet(f"{idx}/stopwords").orderBy("rank").collect()
+    ]
+
+    # the batch that will arrive as streaming batch 0
+    _write_rows(str(watch / "part1.parquet"), rows[100:150])
+
+    # stage it exactly as handle() would, then "crash" after moving only
+    # half of the staged postings files
+    maint = IndexMaintenance(spark, idx)
+    stage = f"{idx}/__stage_batch_0"
+    maint.stage_add(_df(spark, rows[100:150]), stage)
+    moved = 0
+    for fn in sorted(os.listdir(f"{stage}/postings_delta")):
+        if fn.endswith(".parquet") and moved < 2:
+            os.replace(
+                f"{stage}/postings_delta/{fn}", f"{idx}/postings_flat/{fn}"
+            )
+            moved += 1
+    assert moved > 0
+
+    run_incremental_indexing(spark, idx, str(watch), cp)
+
+    fresh = str(tmp_path / "fresh")
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10, stop_terms=stop
+    ).build(_df(spark, rows))
+    assert _results(SearchEngine(spark, idx)) == _results(SearchEngine(spark, fresh))
+    assert not os.path.exists(stage)
+    # exactly-once: postings row count matches the fresh build
+    assert (
+        spark.read.parquet(f"{idx}/postings_flat").count()
+        == spark.read.parquet(f"{fresh}/postings_flat").count()
+    )

@@ -123,3 +123,15 @@ def test_wand_prefix_mode_matches_exhaustive(wand, exhaustive):
     assert set(got) == set(want), (set(got) ^ set(want))
     for qid in want:
         assert got[qid] == want[qid], f"query {qid}: {got[qid]} != {want[qid]}"
+
+
+def test_wand_empty_query_prefix_mode(wand, exhaustive):
+    """A batch whose queries tokenize to zero terms (empty / stop-word-only
+    text) must return an empty frame in prefix mode, not crash in
+    _expand_prefix (prefix is the QuerySpec default)."""
+    specs = [
+        QuerySpec(902, "", "okapi25", 10, spell=False, match_mode="prefix"),
+        QuerySpec(903, "the", "okapi25", 10, spell=False, match_mode="prefix"),
+    ]
+    assert wand.search(specs).count() == 0
+    assert exhaustive.search(specs).count() == 0
