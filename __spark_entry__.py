@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf": ir_direct.q_tf,                         # A2
         "candidates": ir_direct.q_candidates,         # U1/J1 + Q8
         "bm25_topk": ir_direct.q_bm25_topk,           # F8/F10 + Q1-Q3, T1
+        "bm25_topk_lang": ir_direct.q_bm25_topk_lang, # P4/U4 category filter
         "tfidf_ltn": ir_direct.q_tfidf_ltn,           # F6/F9
         "tfidf_ltc": ir_direct.q_tfidf_ltc,           # F6/F7/F9
         "bigram_index": ir_direct.q_bigram_index,     # A6/F3
@@ -87,6 +88,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": ml.q_kmeans,
         # --- recommenders (G7/G8) ------------------------------------------
         "user_knn": recsys.q_user_knn,
+        "user_knn_lsh": recsys.q_user_knn_lsh,  # G7 scale path (SRP LSH)
         "content_recs": recsys.q_content_recs,
     }
     return out
@@ -101,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "tf": ir_direct.SQL_TF,
         "candidates": ir_direct.SQL_CANDIDATES,
         "bm25_topk": ir_direct.SQL_BM25_TOPK,
+        "bm25_topk_lang": ir_direct.SQL_BM25_TOPK_LANG,
         "tfidf_ltn": ir_direct.SQL_TFIDF_LTN,
         "tfidf_ltc": ir_direct.SQL_TFIDF_LTC,
         "bigram_index": ir_direct.SQL_BIGRAM_INDEX,
@@ -133,6 +136,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_fusion": graph.SQL_RANK_FUSION,
         "naive_bayes": ml.SQL_NAIVE_BAYES,
         "user_knn": recsys.SQL_USER_KNN,
+        "user_knn_lsh": recsys.SQL_USER_KNN_LSH,
         "content_recs": recsys.SQL_CONTENT_RECS,
         "kmeans": ml.SQL_KMEANS,
         # per-iteration L2 norm is a one-row scalar CTE cross-join, same

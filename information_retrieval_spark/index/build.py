@@ -131,10 +131,14 @@ class IndexBuilder:
         doc_id_col: str = "doc_id",
         n_buckets: int = 8,
         stop_terms: list[str] | None = None,
+        category_col: str | None = None,
     ):
         """``stop_terms`` pins the stop list instead of deriving it from the
         corpus — required when building an index that must stay consistent
-        with an incrementally maintained one (stop-list versioning)."""
+        with an incrementally maintained one (stop-list versioning).
+        ``category_col`` names a corpus column (e.g. ``lang``) persisted as
+        the ``doc_meta`` table for query-time category filtering
+        (``QuerySpec.filter_category``, reference `search/phase2.py:64-71`)."""
         self.spark = spark
         self.index_dir = index_dir
         self.sections = sections
@@ -143,10 +147,12 @@ class IndexBuilder:
         self.doc_id_col = doc_id_col
         self.n_buckets = n_buckets
         self.stop_terms = stop_terms
+        self.category_col = category_col
         self.manifest_path = os.path.join(index_dir, "manifest.json")
         self.manifest: dict = {"stages": {}, "config": {
             "sections": sections, "tokenizer": tokenizer, "stop_k": stop_k,
             "n_buckets": n_buckets, "stop_terms": stop_terms,
+            "category_col": category_col,
         }}
 
     # ------------------------------------------------------------ manifest
@@ -210,6 +216,24 @@ class IndexBuilder:
             return {"n_docs": n_docs}
 
         stage("stats", s_stats)
+
+        # stage 1b: doc_meta — (doc_id, category) for query-time category
+        # filtering (P4/U4). Sorted by doc_id so the matched-stream join
+        # prunes row groups; at scale this table is partitioned by category
+        # so a filtered search prunes whole partitions.
+        if self.category_col is not None:
+            def s_doc_meta():
+                _write(
+                    corpus.select(
+                        F.col(self.doc_id_col).alias("doc_id"),
+                        F.col(self.category_col).alias("category"),
+                    ),
+                    self.path("doc_meta"),
+                    ["doc_id"],
+                )
+                return {}
+
+            stage("doc_meta", s_doc_meta)
 
         # stage 2: postings over ALL terms — the ONE pass over raw tokens.
         # Everything else (stop list, doclen, vocab, df) derives from this

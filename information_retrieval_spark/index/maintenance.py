@@ -96,6 +96,14 @@ class IndexMaintenance:
         dl = ns.groupBy("doc_id", "section").agg(F.count("*").alias("dl"))
         dl.write.mode("overwrite").parquet(os.path.join(stage_dir, "doclen_delta"))
 
+        cat_col = self.config.get("category_col")
+        if cat_col is not None:
+            delta.select(
+                F.col("doc_id"), F.col(cat_col).alias("category")
+            ).write.mode("overwrite").parquet(
+                os.path.join(stage_dir, "doc_meta_delta")
+            )
+
         # incremental term_df: old ∪ delta, summed (delta docs are new, so
         # df contributions add)
         delta_df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
@@ -144,10 +152,13 @@ class IndexMaintenance:
         import shutil
 
         assert self.is_staged(stage_dir), "refusing to commit a partial stage"
-        for tbl, sub in (
+        deltas = [
             ("postings_flat", "postings_delta"),
             ("doclen", "doclen_delta"),
-        ):
+        ]
+        if os.path.isdir(os.path.join(stage_dir, "doc_meta_delta")):
+            deltas.append(("doc_meta", "doc_meta_delta"))
+        for tbl, sub in deltas:
             sdir = os.path.join(stage_dir, sub)
             for fn in sorted(os.listdir(sdir)):
                 if not fn.endswith(".parquet"):
@@ -205,7 +216,10 @@ class IndexMaintenance:
             return
         spark = self.spark
         dd = F.broadcast(d.select("doc_id").distinct())
-        for table in ("postings_flat", "doclen"):
+        tables = ["postings_flat", "doclen"]
+        if os.path.isdir(self._p("doc_meta")):
+            tables.append("doc_meta")
+        for table in tables:
             t = spark.read.parquet(self._p(table))
             t.join(dd, "doc_id", "left_anti").write.mode("overwrite").parquet(
                 self._p(table + "__new")

@@ -186,6 +186,25 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~|candidates| rows each) → k cut. Score rounded to 6 decimals for the
     engine-portable compare only.
     """
+    return _bm25_topk(spark, sf_dir, lang=None)
+
+
+FILTER_LANG = "en"
+
+
+def q_bm25_topk_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-restricted search (reference phase-2 `search/phase2.py:64-71`
+    restricts postings to the requested category's docs before scoring):
+    same BM25 plan, but the matched stream is semi-joined to lang='en' docs
+    BEFORE the candidate stats, so Q1 n_cand / Q2 avgdl / df all recompute
+    over the sub-corpus — identical semantics to the engines'
+    ``QuerySpec.filter_category``. At scale the semi-join becomes partition
+    pruning when the corpus is lang-partitioned; the stop list stays
+    index-level (full corpus), as in the reference."""
+    return _bm25_topk(spark, sf_dir, lang=FILTER_LANG)
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str, lang: str | None) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     # ONE corpus scan: aggregate to (doc_id, term, tf) first, then derive
     # stop list (Σ tf per term), non-stop tf, and dl (Σ non-stop tf per
@@ -213,6 +232,9 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = tf.join(F.broadcast(qt), tf.term == qt.qterm).select(
         "query_id", "qterm", "mult", "doc_id", "tf"
     )
+    if lang is not None:
+        lang_docs = docs.filter(F.col("lang") == lang).select("doc_id")
+        m = m.join(lang_docs, "doc_id", "semi")
     cand = m.select("query_id", "doc_id").distinct()
     nq = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
     avgdl = (
@@ -250,7 +272,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_BM25_TOPK = f"""
+def _sql_bm25_topk(lang: str | None) -> str:
+    lang_pred = (
+        f"\n  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
+        if lang is not None
+        else ""
+    )
+    return f"""
 WITH toks AS ({SQL_TOKENS}),
 stop AS ({sql_stop(STOP_K)}),
 ns AS (SELECT * FROM toks WHERE term NOT IN (SELECT term FROM stop)),
@@ -259,7 +287,7 @@ dl AS (SELECT doc_id, count(*) AS dl FROM ns GROUP BY doc_id),
 qt AS ({SQL_QTERMS}),
 m AS (
   SELECT qt.query_id, qt.qterm, qt.mult, tf.doc_id, tf.tf
-  FROM tf JOIN qt ON tf.term = qt.qterm
+  FROM tf JOIN qt ON tf.term = qt.qterm{lang_pred}
 ),
 cand AS (SELECT DISTINCT query_id, doc_id FROM m),
 nq AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id),
@@ -296,6 +324,10 @@ FROM (
 )
 WHERE rank <= {TOP_K}
 """
+
+
+SQL_BM25_TOPK = _sql_bm25_topk(None)
+SQL_BM25_TOPK_LANG = _sql_bm25_topk(FILTER_LANG)
 
 
 # ------------------------------------------------------------------ tf-idf

@@ -32,9 +32,8 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 # ------------------------------------------------------------- G7 user kNN
 
-def q_user_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, rank, neighbor_id, sim_r): top-5 cosine neighbors over the
-    user × event_type count matrix."""
+def _user_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, c0..c4, norm): the user × event_type count matrix."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     vec_cols = [
         F.sum((F.col("event_type") == t).cast("int")).alias(f"c{i}")
@@ -43,7 +42,16 @@ def q_user_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = e.groupBy("user_id").agg(*vec_cols)
     cs = [f"c{i}" for i in range(len(EVENT_TYPES))]
     norm = F.sqrt(sum(F.col(c) * F.col(c) for c in cs))
-    m = m.withColumn("norm", norm)
+    return m.withColumn("norm", norm)
+
+
+def q_user_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, rank, neighbor_id, sim_r): top-5 cosine neighbors over the
+    user × event_type count matrix — EXACT all-pairs path, the small-N
+    baseline (O(U²): fine for thousands of users, wrong at 10⁸ — that's
+    ``q_user_knn_lsh``)."""
+    m = _user_matrix(spark, sf_dir)
+    cs = [f"c{i}" for i in range(len(EVENT_TYPES))]
     a, b = m.alias("a"), m.alias("b")
     dot = sum(F.col(f"a.{c}") * F.col(f"b.{c}") for c in cs)
     sim = dot / (F.col("a.norm") * F.col("b.norm"))
@@ -94,6 +102,171 @@ FROM (
 )
 WHERE rank <= {KNN_K}
 """
+
+
+# ------------------------------------------------ G7 LSH-bucketed user kNN
+
+KNN_TABLES = 4
+KNN_BITS = 4
+_NDIM = len(EVENT_TYPES)
+
+
+def _knn_bucket_expr(t: int):
+    """SRP bucket for LSH table ``t`` as a pure column expression over the
+    literal c0..c4 columns — no explode, no shuffle beyond the pivot.
+    Hyperplane coefficients are portable-hash constants (same formula as
+    ops/similarity.py), sign tested on round(p, 9) for cross-engine
+    determinism."""
+    bucket = None
+    for b in range(KNN_BITS):
+        p = None
+        for i in range(_NDIM):
+            coef = portable_hash32(F.lit(f"u{t}p{b}d{i}")) / F.lit(
+                float(1 << 31)
+            ) - 1.0
+            term = F.col(f"c{i}").cast("double") * coef
+            p = term if p is None else p + term
+        bit = F.when(F.round(p, 9) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+def q_user_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, rank, neighbor_id, sim_r): approximate top-5 cosine
+    neighbors via multi-table SRP LSH over the user count matrix — the
+    scale path for G7 (the exact all-pairs self-join is O(U²)).
+
+    Plan: pivot → per-table bucket columns (pure expressions) → explode to
+    (user, tbl, bucket) → Hamming-1 multi-probe → candidate self-join keyed
+    on (tbl, bucket) — an equi hash join, NOT a nested loop — → exact
+    cosine rerank of the candidate pairs → per-user window top-5. Per-user
+    work ~ L·(BITS+1)/2^BITS of the user base instead of all of it.
+    """
+    m = _user_matrix(spark, sf_dir)
+    cs = [f"c{i}" for i in range(_NDIM)]
+    tb = m.select(
+        "user_id",
+        *cs,
+        "norm",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _knn_bucket_expr(t).alias("bucket"),
+                    )
+                    for t in range(KNN_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("user_id", *cs, "norm", F.col("tb.tbl"), F.col("tb.bucket"))
+    probes = tb.select(
+        F.col("user_id").alias("q_user"),
+        *[F.col(c).alias(f"q{c}") for c in cs],
+        F.col("norm").alias("q_norm"),
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[
+                    F.col("bucket").bitwiseXOR(F.lit(1 << b))
+                    for b in range(KNN_BITS)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        tb.join(probes, ["tbl", "bucket"])
+        .filter(F.col("user_id") != F.col("q_user"))
+        .select(
+            F.col("q_user").alias("user_id"),
+            F.col("user_id").alias("neighbor_id"),
+            *[F.col(f"q{c}") for c in cs],
+            "q_norm",
+            *cs,
+            "norm",
+        )
+        .distinct()
+    )
+    dot = sum(
+        F.col(f"qc{i}").cast("double") * F.col(f"c{i}").cast("double")
+        for i in range(_NDIM)
+    )
+    scored = cand.withColumn("sim", dot / (F.col("q_norm") * F.col("norm")))
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc(F.round("sim", 9)), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_K)
+        .select(
+            "user_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim_r")
+        )
+    )
+
+
+def _sql_knn_bucket(t: int) -> str:
+    bits = []
+    for b in range(KNN_BITS):
+        terms = " + ".join(
+            f"c{i}::DOUBLE * ({sql_hash32(repr(f'u{t}p{b}d{i}'))}"
+            f" / {float(1 << 31)} - 1.0)"
+            for i in range(_NDIM)
+        )
+        bits.append(f"(CASE WHEN round({terms}, 9) > 0 THEN {1 << b} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def _sql_user_knn_lsh() -> str:
+    tb_selects = "\n  UNION ALL ".join(
+        f"SELECT user_id, {', '.join(f'c{i}' for i in range(_NDIM))},"
+        f" {t} AS tbl, {_sql_knn_bucket(t)} AS bucket FROM m"
+        for t in range(KNN_TABLES)
+    )
+    qcs = ", ".join(f"c{i} AS qc{i}" for i in range(_NDIM))
+    dot = " + ".join(f"c.qc{i}::DOUBLE * c.c{i}::DOUBLE" for i in range(_NDIM))
+    qnorm = " + ".join(f"c.qc{i} * c.qc{i}" for i in range(_NDIM))
+    tnorm = " + ".join(f"c.c{i} * c.c{i}" for i in range(_NDIM))
+    return f"""
+WITH m AS (
+  SELECT user_id,
+    {_PIVOT}
+  FROM events GROUP BY user_id
+),
+tb AS (
+  {tb_selects}
+),
+probes AS (
+  SELECT user_id AS q_user, {qcs}, tbl,
+         CASE WHEN f.bit = -1 THEN bucket
+              ELSE xor(bucket, (1::BIGINT << f.bit)) END AS bucket
+  FROM tb, (SELECT unnest(generate_series(-1, {KNN_BITS - 1})) AS bit) f
+),
+cand AS (
+  SELECT DISTINCT c.q_user AS user_id, t.user_id AS neighbor_id,
+         {", ".join(f"c.qc{i}" for i in range(_NDIM))},
+         {", ".join(f"t.c{i}" for i in range(_NDIM))}
+  FROM probes c JOIN tb t ON c.tbl = t.tbl AND c.bucket = t.bucket
+  WHERE t.user_id <> c.q_user
+),
+scored AS (
+  SELECT user_id, neighbor_id,
+         ({dot}) / (sqrt(({qnorm})::DOUBLE) * sqrt(({tnorm})::DOUBLE)) AS sim
+  FROM cand c
+)
+SELECT user_id, rank, neighbor_id, round(sim, 6) AS sim_r
+FROM (
+  SELECT user_id, neighbor_id, sim,
+    row_number() OVER (
+      PARTITION BY user_id ORDER BY round(sim, 9) DESC, neighbor_id ASC
+    ) AS rank
+  FROM scored
+)
+WHERE rank <= {KNN_K}
+"""
+
+
+SQL_USER_KNN_LSH = _sql_user_knn_lsh()
 
 
 # --------------------------------------------------- G8 content-based recs

@@ -53,6 +53,11 @@ class QuerySpec:
     section_weights: dict[str, float] = field(default_factory=dict)
     spell: bool = True
     match_mode: str = "prefix"  # prefix (reference parity) | exact
+    # restrict the search to docs whose doc_meta category equals this value
+    # (reference phase-2 category search, `search/phase2.py:64-71`); the
+    # index must be built with IndexBuilder(category_col=...). All per-query
+    # candidate stats (Q1 N, Q2 avgdl, df) recompute over the sub-corpus.
+    filter_category: str | None = None
 
 
 class SearchEngine:
@@ -89,6 +94,11 @@ class SearchEngine:
             if os.path.exists(ddir)
             else None
         )
+        # doc_meta (doc_id, category) for QuerySpec.filter_category
+        mdir = os.path.join(index_dir, "doc_meta")
+        self.doc_meta = (
+            spark.read.parquet(mdir) if os.path.exists(mdir) else None
+        )
 
     # ------------------------------------------------------------- helpers
 
@@ -117,9 +127,15 @@ class SearchEngine:
 
     # --------------------------------------------------------------- plans
 
-    def _matched(self, qterms: DataFrame, match_mode: str) -> DataFrame:
+    def _matched(
+        self, qterms: DataFrame, match_mode: str, cat_df: DataFrame | None = None
+    ) -> DataFrame:
         """(query_id, qterm, mult, doc_id, section, tf) — tf merged over the
-        prefix expansion when match_mode='prefix'."""
+        prefix expansion when match_mode='prefix'. ``cat_df`` is the
+        optional (query_id, want_cat) table: filtered queries are restricted
+        to their category's docs like a per-query delete vector — BEFORE the
+        has_exact gate and candidate stats, so the whole query runs against
+        the sub-corpus."""
         p = self.postings.select("term", "section", "doc_id", "tf")
         if self.deleted_df is not None:
             # anti-join the delete vector BEFORE stats: the per-query
@@ -132,7 +148,27 @@ class SearchEngine:
                 p.term < F.concat(qterms.qterm, F.lit(MAX_CHAR))
             )
             m = p.join(F.broadcast(qterms), cond)
-            # is_end gate: the exact term must exist somewhere in the corpus
+        if cat_df is not None:
+            if self.doc_meta is None:
+                raise ValueError(
+                    "filter_category requires an index built with"
+                    " IndexBuilder(category_col=...)"
+                )
+            # doc-keyed join on the term-pruned matched stream — the same
+            # shape (and cost class) as the doclen join in scoring; at
+            # scale doc_meta is category-partitioned so this prunes files
+            m = (
+                m.join(F.broadcast(cat_df), "query_id", "left")
+                .join(self.doc_meta, "doc_id", "left")
+                .filter(
+                    F.col("want_cat").isNull()
+                    | (F.col("category") == F.col("want_cat"))
+                )
+                .drop("want_cat", "category")
+            )
+        if match_mode != "exact":
+            # is_end gate: the exact term must exist in the (live, category-
+            # restricted) sub-corpus
             w = Window.partitionBy("query_id", "qterm")
             m = m.withColumn(
                 "has_exact",
@@ -140,6 +176,18 @@ class SearchEngine:
             ).filter(F.col("has_exact") == 1)
         return m.groupBy("query_id", "qterm", "mult", "doc_id", "section").agg(
             F.sum("tf").alias("tf")
+        )
+
+    def _cat_df(self, queries: list[QuerySpec]) -> DataFrame | None:
+        rows = [
+            (q.query_id, q.filter_category)
+            for q in queries
+            if q.filter_category is not None
+        ]
+        if not rows:
+            return None
+        return self.spark.createDataFrame(
+            rows, "query_id long, want_cat string"
         )
 
     def _cand_stats(self, matched: DataFrame):
@@ -281,7 +329,7 @@ class SearchEngine:
             rows, "query_id long, qterm string, mult int"
         )
         mode = queries[0].match_mode
-        matched = self._matched(qterms, mode)
+        matched = self._matched(qterms, mode, self._cat_df(queries))
         section_scores = self._score_okapi(matched)
         weights_df = self._weights_df(queries)
         ks_df = self.spark.createDataFrame(
@@ -327,7 +375,7 @@ class SearchEngine:
             qrows, "query_id long, qterm string, q_w double, df_global double"
         ).withColumn("mult", F.lit(1))
         mode = queries[0].match_mode
-        matched = self._matched(qterms, mode)
+        matched = self._matched(qterms, mode, self._cat_df(queries))
         # re-attach q_w / df_global lost by the groupBy in _matched
         qmeta = qterms.select("query_id", "qterm", "q_w", "df_global")
         matched = matched.join(F.broadcast(qmeta), ["query_id", "qterm"])

@@ -190,10 +190,12 @@ class _MergedList:
 
 
 def _wand_query(
-    lists: list, k: int, deleted: frozenset = frozenset()
+    lists: list, k: int, deleted: frozenset = frozenset(), allowed=None
 ) -> list[tuple[int, float]]:
     """Exact top-k (doc_id, score) under ordering (-score, doc_id);
-    ``deleted`` docs are advanced past without entering the heap."""
+    ``deleted`` docs are advanced past without entering the heap.
+    ``allowed`` (optional doc_id → bool) implements the category filter:
+    failing docs are treated exactly like deleted ones."""
     heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
     lists = [L for L in lists if not L.exhausted()]
     while True:
@@ -215,7 +217,7 @@ def _wand_query(
             break  # Σ ub < θ: no remaining doc can enter the top-k
         pivot = lists[pivot_idx].cur_doc()
         if lists[0].cur_doc() == pivot:
-            live = pivot not in deleted
+            live = pivot not in deleted and (allowed is None or allowed(pivot))
             score = 0.0
             if live:
                 for L in lists:
@@ -269,6 +271,11 @@ class WandEngine:
         else:
             self.deleted_df = None
             self.deleted = frozenset()
+        mdir = os.path.join(index_dir, "doc_meta")
+        self.doc_meta = (
+            spark.read.parquet(mdir) if os.path.exists(mdir) else None
+        )
+        self.n_buckets = int(self.config.get("n_buckets", 8))
         self._dl_map_df = None
         self._last_shard = None
         self._bigram_dict = None
@@ -416,7 +423,33 @@ class WandEngine:
             if self.deleted_df is not None
             else mq
         )
-        if mode == "prefix" and self.deleted:
+        # category filter (QuerySpec.filter_category): restrict filtered
+        # queries' matched streams to their category's docs BEFORE the gate
+        # and candidate stats — same placement as engine._matched
+        cat_map = {
+            q.query_id: q.filter_category
+            for q in queries
+            if q.filter_category is not None
+        }
+        if cat_map:
+            if self.doc_meta is None:
+                raise ValueError(
+                    "filter_category requires an index built with"
+                    " IndexBuilder(category_col=...)"
+                )
+            cat_df = self.spark.createDataFrame(
+                list(cat_map.items()), "query_id long, want_cat string"
+            )
+            live_mq = (
+                live_mq.join(F.broadcast(cat_df), "query_id", "left")
+                .join(self.doc_meta, "doc_id", "left")
+                .filter(
+                    F.col("want_cat").isNull()
+                    | (F.col("category") == F.col("want_cat"))
+                )
+                .drop("want_cat", "category")
+            )
+        if mode == "prefix" and (self.deleted or cat_map):
             # re-check the has_exact gate against LIVE postings, exactly as
             # engine._matched does and BEFORE candidate stats: a fully
             # deleted exact term must suppress its whole expansion,
@@ -451,7 +484,7 @@ class WandEngine:
         # (`engine.py` dfq semantics); otherwise the global term_df table
         # (tiny pushed-filter scan). A qterm with no live group simply never
         # appears → df_of returns None → the term is skipped.
-        per_query_df = mode == "prefix" or bool(self.deleted)
+        per_query_df = mode == "prefix" or bool(self.deleted) or bool(cat_map)
         if per_query_df:
             df_agg = live_mq.groupBy("query_id", "qterm").agg(
                 F.countDistinct("doc_id").alias("df")
@@ -527,7 +560,11 @@ class WandEngine:
         deleted = self.deleted
 
         # --- WAND pass per bucket -----------------------------------------
-        def wand_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        # (applyInPandas dispatches on function arity — a 2-arg callable is
+        # called as (key, pdf) — so the plain path gets a 1-arg wrapper)
+        def wand_bucket_impl(
+            pdf: pd.DataFrame, cat_of: dict | None
+        ) -> pd.DataFrame:
             by_ts: dict[tuple[str, str], list] = {}
             pdf = pdf.sort_values(["term", "section", "block_id"])
             for r in pdf.itertuples(index=False):
@@ -537,6 +574,12 @@ class WandEngine:
                 )
             out_q, out_d, out_s = [], [], []
             for qid, meta in qmeta.items():
+                want = cat_map.get(qid)
+                allowed = (
+                    (lambda d, w=want: cat_of.get(d) == w)
+                    if want is not None
+                    else None
+                )
                 lists = []
                 for (qterm, s), m in meta["terms"].items():
                     runs = [
@@ -555,7 +598,7 @@ class WandEngine:
                 if not lists:
                     continue
                 k = meta["k"] if meta["k"] > 0 else 1 << 30
-                for doc, score in _wand_query(lists, k, deleted):
+                for doc, score in _wand_query(lists, k, deleted, allowed):
                     out_q.append(qid)
                     out_d.append(doc)
                     out_s.append(score)
@@ -563,9 +606,44 @@ class WandEngine:
                 {"query_id": out_q, "doc_id": out_d, "score": out_s}
             )
 
-        per_bucket = shard.groupBy("bucket").applyInPandas(
-            wand_bucket, _TOPK_SCHEMA
-        )
+        if cat_map:
+            # ship the category map partition-aligned with the shards:
+            # doc_meta rows for the requested categories, bucketed by the
+            # same doc-hash as the pack layout, cogrouped with the shard —
+            # membership never passes through the driver (the delete-vector
+            # frozenset above is the small-side exception, flagged in-code)
+            wanted = sorted(set(cat_map.values()))
+            meta_b = (
+                self.doc_meta.filter(F.col("category").isin(wanted))
+                .select("doc_id", "category")
+                .withColumn(
+                    "bucket",
+                    F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast(
+                        "int"
+                    ),
+                )
+            )
+
+            def wand_cogroup(
+                left: pd.DataFrame, right: pd.DataFrame
+            ) -> pd.DataFrame:
+                cat_of = dict(
+                    zip(right["doc_id"].tolist(), right["category"].tolist())
+                )
+                return wand_bucket_impl(left, cat_of)
+
+            per_bucket = (
+                shard.groupby("bucket")
+                .cogroup(meta_b.groupby("bucket"))
+                .applyInPandas(wand_cogroup, _TOPK_SCHEMA)
+            )
+        else:
+            def wand_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+                return wand_bucket_impl(pdf, None)
+
+            per_bucket = shard.groupBy("bucket").applyInPandas(
+                wand_bucket, _TOPK_SCHEMA
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.desc(F.round("score", 9)), F.asc("doc_id")
         )

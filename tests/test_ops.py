@@ -172,3 +172,25 @@ def test_jaccard_hot_shingle_anti_join_is_broadcast(spark):
     assert "LeftAnti" in plan
     # the broadcast hint must sit on the anti-join's build (hot) side
     assert "ResolvedHint" in plan or "BroadcastHashJoin" in plan
+
+
+def test_user_knn_lsh_recall_and_plan(spark):
+    """The SRP-bucketed user kNN must (a) reach ≥0.8 recall of the exact
+    all-pairs top-5 and (b) key its candidate self-join on (tbl, bucket) —
+    an equi hash/merge join, never the O(U²) nested loop of the exact
+    path."""
+    from information_retrieval_spark.ops import recsys
+
+    exact = {}
+    for r in recsys.q_user_knn(spark, SF).collect():
+        exact.setdefault(r.user_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in recsys.q_user_knn_lsh(spark, SF).collect():
+        approx.setdefault(r.user_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact[u] & approx.get(u, set())) for u in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.8, f"LSH user-knn recall collapsed: {recall}"
+
+    plan = recsys.q_user_knn_lsh(spark, SF)._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
