@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ML parity (G3/G5) ---------------------------------------------
         "naive_bayes": ml.q_naive_bayes,
         "kmeans": ml.q_kmeans,
+        "purity": ml.q_purity,                        # A9 confusion + purity
         # --- recommenders (G7/G8) ------------------------------------------
         "user_knn": recsys.q_user_knn,
         "user_knn_lsh": recsys.q_user_knn_lsh,  # G7 scale path (SRP LSH)
@@ -139,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "user_knn_lsh": recsys.SQL_USER_KNN_LSH,
         "content_recs": recsys.SQL_CONTENT_RECS,
         "kmeans": ml.SQL_KMEANS,
+        "purity": ml.SQL_PURITY,
         # per-iteration L2 norm is a one-row scalar CTE cross-join, same
         # unrolling pattern as SQL_PAGERANK:
         "hits": graph.SQL_HITS,

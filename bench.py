@@ -115,6 +115,17 @@ def main() -> None:
             lat.append(time.time() - t0)
         lat.sort()
         timings["bm25_engine_batch"] = round(lat[len(lat) // 2], 3)
+
+        from information_retrieval_spark.query.wand import WandEngine
+
+        wand = WandEngine(spark, idx_dir)
+        wlat = []
+        for rep in range(5):
+            t0 = time.time()
+            wand.search(qspecs).collect()
+            wlat.append(time.time() - t0)
+        wlat.sort()
+        timings["wand_engine_batch"] = round(wlat[len(wlat) // 2], 3)
     finally:
         shutil.rmtree(idx_dir, ignore_errors=True)
 
@@ -130,6 +141,10 @@ def main() -> None:
             "bm25_batch_p50_sec": timings["bm25_engine_batch"],
             "bm25_per_query_p50_sec": round(
                 timings["bm25_engine_batch"] / len(qspecs), 4
+            ),
+            "wand_batch_p50_sec": timings["wand_engine_batch"],
+            "wand_per_query_p50_sec": round(
+                timings["wand_engine_batch"] / len(qspecs), 4
             ),
             "cpus": cpus,
             "n_files": n_files,

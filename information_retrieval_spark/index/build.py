@@ -37,7 +37,10 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F, types as T
 
-from information_retrieval_spark.tokenize import SIMPLE_SPLIT_PATTERN, code_tokens
+from information_retrieval_spark.tokenize import (
+    SIMPLE_SPLIT_PATTERN,
+    code_tokens_bulk,
+)
 
 TOKENS_SCHEMA = T.StructType(
     [
@@ -92,22 +95,38 @@ def tokenize_corpus(
     cols = [doc_id_col] + [c for _, c in sec_items]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            doc_ids, secs, terms, poss = [], [], [], []
-            for row in pdf.itertuples(index=False):
-                did = getattr(row, doc_id_col)
-                for sname, scol in sec_items:
-                    text = getattr(row, scol)
-                    if not text:
-                        continue
-                    for t, p in code_tokens(text):
-                        doc_ids.append(did)
-                        secs.append(sname)
-                        terms.append(t)
-                        poss.append(p)
-            yield pd.DataFrame(
-                {"doc_id": doc_ids, "section": secs, "term": terms, "pos": poss}
-            )
+            ids = pdf[doc_id_col].to_numpy()
+            frames = []
+            for sname, scol in sec_items:
+                # one C-level regex scan over the whole Arrow batch
+                # (code_tokens_bulk: texts joined on \x00, offsets mapped
+                # back by searchsorted) — no per-row Python loop
+                texts = [t if isinstance(t, str) else "" for t in pdf[scol]]
+                terms, rows, offs = code_tokens_bulk(texts)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": ids[rows],
+                            "section": sname,
+                            "term": terms,
+                            "pos": offs.astype(np.int32),
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+            else:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "section": pd.Series([], dtype=object),
+                        "term": pd.Series([], dtype=object),
+                        "pos": pd.Series([], dtype="int32"),
+                    }
+                )
 
     return corpus.select(*cols).mapInPandas(run, TOKENS_SCHEMA)
 

@@ -253,3 +253,74 @@ SELECT vec_id, k AS cluster FROM (
 
 
 SQL_KMEANS = _sql_kmeans()
+
+
+# ------------------------------------------- purity / confusion matrix (A9)
+
+def q_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, label, n, purity_r): k-means cluster evaluation — the
+    label × cluster confusion matrix plus global purity
+    Σ_c max_l n(c,l) / N (reference `ir-phase-2.ipynb:c160:3-20`), the
+    purity repeated on every row so the value hash pins it. Two tiny
+    hash-aggs over the assignment; no driver-side math."""
+    lab = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "label"
+    )
+    conf = (
+        q_kmeans(spark, sf_dir)
+        .join(lab, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count("*").alias("n"))
+    )
+    scalars = (
+        conf.groupBy("cluster")
+        .agg(F.max("n").alias("mx"))
+        .agg(F.sum("mx").alias("num"))
+        .crossJoin(conf.agg(F.sum("n").alias("tot")))
+    )
+    return conf.crossJoin(F.broadcast(scalars)).select(
+        "cluster",
+        "label",
+        "n",
+        F.round(F.col("num") / F.col("tot"), 6).alias("purity_r"),
+    )
+
+
+def _sql_purity() -> str:
+    cte = _sql_kmeans_ctes()
+    last = f"c{KMEANS_ITERS}"
+    cte.append(
+        f"""assign AS (
+  SELECT vec_id, k AS cluster FROM (
+    SELECT comp.vec_id, {last}.k,
+      row_number() OVER (
+        PARTITION BY comp.vec_id
+        ORDER BY round(sum((comp.x - {last}.c) * (comp.x - {last}.c)), 9) ASC,
+                 {last}.k ASC
+      ) AS r
+    FROM comp JOIN {last} ON comp.dim = {last}.dim
+    GROUP BY comp.vec_id, {last}.k
+  ) WHERE r = 1
+)"""
+    )
+    cte.append(
+        """conf AS (
+  SELECT a.cluster, e.label, count(*) AS n
+  FROM assign a JOIN embeddings e ON a.vec_id = e.vec_id
+  GROUP BY a.cluster, e.label
+)"""
+    )
+    cte.append(
+        "sc AS (SELECT (SELECT sum(mx) FROM (SELECT max(n) AS mx FROM conf"
+        " GROUP BY cluster))::DOUBLE / (SELECT sum(n) FROM conf) AS purity)"
+    )
+    return (
+        "WITH " + ",\n".join(cte)
+        + """
+SELECT conf.cluster, conf.label, conf.n, round(sc.purity, 6) AS purity_r
+FROM conf CROSS JOIN sc
+"""
+    )
+
+
+SQL_PURITY = _sql_purity()

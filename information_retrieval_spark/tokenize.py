@@ -72,3 +72,45 @@ def code_tokens(text: str) -> list[tuple[str, int]]:
 def code_terms(text: str) -> list[str]:
     """Terms only (document order), for callers that don't need offsets."""
     return [t for t, _ in code_tokens(text)]
+
+
+# Single-pass equivalent of the (word → underscore-split → camel) cascade:
+# every match IS a final subtoken at its true char offset. The lookbehind
+# alternative reproduces the cascade's digit rule — digits MERGE into a
+# following lowercase run only inside an identifier (preceded by a word
+# char), while a digit run at a word boundary stands alone ("X3b" → x,3b
+# but " 3b" → 3,b). Fuzz-tested equivalent to ``code_tokens`` (20k+ random
+# strings, tests/test_tokenize.py); enables one C-level scan per Arrow
+# batch in the index build instead of three nested per-row Python loops.
+FLAT_CODE_RE = re.compile(
+    r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z][a-z0-9]*"
+    r"|(?<=[A-Za-z0-9_])[0-9][a-z0-9]*|[0-9]+"
+)
+
+
+def code_tokens_bulk(texts: list[str]) -> tuple[list[str], "object", "object"]:
+    """Vectorized ``code_tokens`` over many texts at once.
+
+    Joins the batch with ``\\x00`` (never inside a token), runs ONE
+    ``finditer`` over the mega-string, and maps global match offsets back
+    to (row, in-row offset) with a numpy searchsorted — the per-token
+    Python cost is a single ``.lower()``.
+
+    Returns ``(terms, row_idx ndarray, offset ndarray)``.
+    """
+    import numpy as np
+
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=len(texts))
+    bounds = np.zeros(len(texts), dtype=np.int64)
+    if len(texts) > 1:
+        np.cumsum(lens[:-1] + 1, out=bounds[1:])
+    joined = "\x00".join(texts)
+    terms: list[str] = []
+    gstarts: list[int] = []
+    for m in FLAT_CODE_RE.finditer(joined):
+        terms.append(m.group(0).lower())
+        gstarts.append(m.start())
+    g = np.asarray(gstarts, dtype=np.int64)
+    rows = np.searchsorted(bounds, g, side="right") - 1
+    offs = g - bounds[rows]
+    return terms, rows, offs

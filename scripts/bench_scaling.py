@@ -97,6 +97,15 @@ def worker(cores: int) -> None:
         shutil.rmtree(idx, ignore_errors=True)
 
 
+N_RUNS = int(os.environ.get("SCALING_RUNS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--worker":
         ensure_corpus()
@@ -104,26 +113,48 @@ def main() -> None:
         return
 
     ensure_corpus()
-    results = {}
-    for cores in LEVELS:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
-            capture_output=True, text=True, timeout=1800,
-        )
-        line = [l for l in p.stdout.splitlines() if l.startswith("WORKER_RESULT ")]
-        if not line:
-            print(p.stdout[-3000:], p.stderr[-3000:])
-            raise SystemExit(f"worker {cores} failed")
-        results[cores] = json.loads(line[-1][len("WORKER_RESULT "):])
-        print(results[cores])
-
     n, n4 = LEVELS
-    r1, r4 = results[n], results[n4]
     ratio = n4 / n
-    eff_build = (r4["files_per_sec"] / r1["files_per_sec"]) / ratio
-    speedup_q = r1["query_batch_p50_s"] / r4["query_batch_p50_s"]
-    same_hash = r1["index_hash"] == r4["index_hash"]
+    runs = []
+    for run_no in range(N_RUNS):
+        results = {}
+        for cores in LEVELS:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--worker", str(cores)],
+                capture_output=True, text=True, timeout=1800,
+            )
+            line = [
+                l for l in p.stdout.splitlines()
+                if l.startswith("WORKER_RESULT ")
+            ]
+            if not line:
+                print(p.stdout[-3000:], p.stderr[-3000:])
+                raise SystemExit(f"worker {cores} failed (run {run_no})")
+            results[cores] = json.loads(line[-1][len("WORKER_RESULT "):])
+        r1, r4 = results[n], results[n4]
+        runs.append(
+            {
+                "run": run_no + 1,
+                "r1": r1,
+                "r4": r4,
+                "eff": (r4["files_per_sec"] / r1["files_per_sec"]) / ratio,
+                "speedup_q": r1["query_batch_p50_s"] / r4["query_batch_p50_s"],
+                "hash_equal": r1["index_hash"] == r4["index_hash"],
+            }
+        )
+        print(json.dumps({k: runs[-1][k] for k in ("run", "eff", "speedup_q")}))
 
+    eff_med = _median([r["eff"] for r in runs])
+    spq_med = _median([r["speedup_q"] for r in runs])
+    all_hash = all(r["hash_equal"] for r in runs)
+
+    run_rows = "\n".join(
+        f"| {r['run']} | {r['r1']['build_s']} | {r['r1']['files_per_sec']}"
+        f" | {r['r4']['build_s']} | {r['r4']['files_per_sec']}"
+        f" | {r['eff']:.3f} | {r['r1']['query_batch_p50_s']}"
+        f" | {r['r4']['query_batch_p50_s']} | {r['speedup_q']:.2f}× |"
+        for r in runs
+    )
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured performance + scaling evidence
@@ -132,32 +163,34 @@ Generated by `python scripts/bench_scaling.py` (deterministic synthetic code
 corpus, {N_DOCS} files, code tokenizer, full build: tokenize → stop-words →
 doclen → postings → term_df → vocab → lineage → packed block-max shards;
 query: block-max WAND, 18-query BM25 batch ×{QUERY_REPS}, p50).
+**{N_RUNS} full runs; the reported efficiency is the MEDIAN across runs**
+(single-run numbers on this sandbox vary with background load).
 
 The north_rule's two-cluster-size criterion (≥0.8 efficiency N→4N
 executors) cannot use a real cluster in this sandbox; per the task
 instruction it is evidenced by the SAME job at two local parallelism
 levels on the SAME input.
 
-| parallelism | build wall (s) | build throughput (files/s) | WAND batch p50 (s) |
-|---|---|---|---|
-| local[{n}] | {r1['build_s']} | {r1['files_per_sec']} | {r1['query_batch_p50_s']} |
-| local[{n4}] | {r4['build_s']} | {r4['files_per_sec']} | {r4['query_batch_p50_s']} |
+| run | build@{n} (s) | files/s@{n} | build@{n4} (s) | files/s@{n4} | per-core eff | WAND p50@{n} (s) | WAND p50@{n4} (s) | q speedup |
+|---|---|---|---|---|---|---|---|---|
+{run_rows}
 
-* **Build scaling efficiency ({n}→{n4} cores, per-core):**
-  ({r4['files_per_sec']} / {r1['files_per_sec']}) / {ratio:.0f} = **{eff_build:.3f}**
-  (target ≥ 0.8 — note single-JVM local mode shares one shuffle service &
-  GC; a real 4N-executor cluster has no such shared-process ceiling)
-* **Query batch speedup {n}→{n4} cores:** {speedup_q:.2f}×
-* **Determinism:** index content hash identical across parallelism levels:
-  {same_hash} ({r1['index_hash']})
+* **Build scaling efficiency ({n}→{n4} cores, per-core, median of
+  {N_RUNS}):** **{eff_med:.3f}** (target ≥ 0.8 — note single-JVM local
+  mode shares one shuffle service & GC; a real 4N-executor cluster has no
+  such shared-process ceiling)
+* **Query batch speedup {n}→{n4} cores (median):** {spq_med:.2f}×
+* **Determinism:** index content hash identical across parallelism levels
+  in every run: {all_hash} ({runs[0]['r1']['index_hash']})
 
 Per-round operator timings land in `BENCH_r{{N}}.json` via `bench.py`
 (steady-state best-of-2 per op at sf0.1, local[32]).
 """)
     print(json.dumps({
-        "efficiency_build": round(eff_build, 3),
-        "query_speedup": round(speedup_q, 2),
-        "hash_equal": same_hash,
+        "efficiency_build_median": round(eff_med, 3),
+        "query_speedup_median": round(spq_med, 2),
+        "hash_equal": all_hash,
+        "runs": [round(r["eff"], 3) for r in runs],
     }))
 
 

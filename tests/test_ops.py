@@ -194,3 +194,23 @@ def test_user_knn_lsh_recall_and_plan(spark):
 
     plan = recsys.q_user_knn_lsh(spark, SF)._jdf.queryExecution().toString()
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_purity_confusion_consistent(spark):
+    """A9: confusion matrix sums to N; purity equals the recomputed
+    sum-of-cluster-maxima over N and lies in (1/K..1]."""
+    from information_retrieval_spark.ops import ml
+
+    rows = ml.q_purity(spark, SF).collect()
+    n_total = sum(r.n for r in rows)
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert n_total == n_vecs
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r.n)
+    want = sum(max(v) for v in by_cluster.values()) / n_total
+    assert rows[0].purity_r == pytest.approx(want, abs=1e-6)
+    assert len({r.purity_r for r in rows}) == 1
+    n_labels = len({r.label for r in rows})
+    # purity is at least the majority-label share of each cluster
+    assert 1.0 / n_labels <= rows[0].purity_r <= 1.0

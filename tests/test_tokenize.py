@@ -64,3 +64,51 @@ def test_simple_matches_spark(spark):
     )
     for row in got:
         assert [t for t in row.toks if t] == simple_tokens(row.text)
+
+
+def test_flat_regex_equivalent_to_code_tokens():
+    """FLAT_CODE_RE single-pass == the 3-level code_tokens cascade (terms
+    AND offsets) — the vectorized build path depends on this identity."""
+    import random
+    import string
+
+    from information_retrieval_spark.tokenize import FLAT_CODE_RE
+
+    def flat(text):
+        return [
+            (m.group(0).lower(), m.start()) for m in FLAT_CODE_RE.finditer(text)
+        ]
+
+    cases = [
+        "", "X3b", "3abc", "abc3", "a_3b", "HTTP2Server", "HTTPx", "_X",
+        "_3", "fooBarBaz", "__init__", "aA", "Aa", "9", "x9y", "MD5Sum",
+        "paRSer3X_9yZ", "é漢abc", "a\x00b", "def get_value(): return X",
+    ]
+    rng = random.Random(7)
+    alphabet = string.ascii_letters + string.digits + "_ .:(){}+-=<>'\né漢"
+    cases += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40)))
+        for _ in range(3000)
+    ]
+    for c in cases:
+        assert flat(c) == code_tokens(c), repr(c)
+
+
+def test_code_tokens_bulk_matches_per_row():
+    """The batched mega-string scan must reproduce per-row code_tokens
+    exactly: terms, row attribution, and in-row char offsets."""
+    from information_retrieval_spark.tokenize import code_tokens_bulk
+
+    texts = [
+        "def get_value(): return HTTPServer2",
+        "",
+        "foo_bar X3b",
+        "é漢 snake_caseCamel 42",
+        "text with a \x00 byte inside",
+    ]
+    terms, rows, offs = code_tokens_bulk(texts)
+    got = {}
+    for t, r, o in zip(terms, rows.tolist(), offs.tolist()):
+        got.setdefault(r, []).append((t, o))
+    for i, text in enumerate(texts):
+        assert got.get(i, []) == code_tokens(text), i
