@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "naive_bayes": ml.q_naive_bayes,
         "kmeans": ml.q_kmeans,
         "purity": ml.q_purity,                        # A9 confusion + purity
+        "plsa_topics": ml.q_plsa_topics,              # G4 (deterministic PLSA)
         # --- recommenders (G7/G8) ------------------------------------------
         "user_knn": recsys.q_user_knn,
         "user_knn_lsh": recsys.q_user_knn_lsh,  # G7 scale path (SRP LSH)
@@ -141,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "content_recs": recsys.SQL_CONTENT_RECS,
         "kmeans": ml.SQL_KMEANS,
         "purity": ml.SQL_PURITY,
+        "plsa_topics": ml.SQL_PLSA_TOPICS,
         # per-iteration L2 norm is a one-row scalar CTE cross-join, same
         # unrolling pattern as SQL_PAGERANK:
         "hits": graph.SQL_HITS,

@@ -324,3 +324,173 @@ FROM conf CROSS JOIN sc
 
 
 SQL_PURITY = _sql_purity()
+
+
+# -------------------------------------------- PLSA topic model (G4 analogue)
+
+N_TOPICS = 4
+PLSA_ITERS = 3
+
+
+def q_plsa_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, main_topic, p_r): per-document main topic after PLSA_ITERS
+    EM iterations of PLSA over simple-token counts.
+
+    Reference G4 runs sklearn LDA for a per-doc main topic
+    (`ui/backend/mir/clustering/preprocess.py:34-61`); LDA's Gibbs/
+    variational fits are nondeterministic across library versions, so —
+    same policy as the spaCy tokenizer swap (SURVEY §1.4) — the engine
+    ships PLSA (LDA without Dirichlet priors) with pinned deterministic
+    init and a FIXED iteration count, making the fit value-checkable by an
+    unrolled SQL twin exactly like k-means/PageRank.
+
+      E: r(d,w,z) ∝ p(z|d)·p(w|z)
+      M: p(z|d) ∝ Σ_w n(d,w)·r;  p(w|z) ∝ Σ_d n(d,w)·r
+
+    Init: p(w|z) ∝ portable_hash32(w#z) % 1000 + 1 (per-topic normalized),
+    p(z|d) uniform. Scale notes: per iteration one (d,w)-grain window
+    normalize + two hash-aggs; the p(w|z) table is vocab×T (broadcast),
+    p(z|d) shuffles on doc_id only.
+    """
+    from information_retrieval_spark.ops.common import portable_hash32
+    from pyspark.sql import Window
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    tf = (
+        d.select("doc_id", F.explode(toks).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    z = spark.range(N_TOPICS).select(F.col("id").cast("int").alias("z"))
+    wz = Window.partitionBy("z")
+    pwz = (
+        tf.select("term").distinct()
+        .crossJoin(F.broadcast(z))
+        .withColumn(
+            "s",
+            (
+                portable_hash32(
+                    F.concat(F.col("term"), F.lit("#"), F.col("z").cast("string"))
+                )
+                % 1000
+                + 1
+            ).cast("double"),
+        )
+        .withColumn("pwz", F.col("s") / F.sum("s").over(wz))
+        .select("term", "z", "pwz")
+    )
+    pzd = (
+        tf.select("doc_id").distinct()
+        .crossJoin(F.broadcast(z))
+        .withColumn("pzd", F.lit(1.0 / N_TOPICS))
+    )
+    wdw = Window.partitionBy("doc_id", "term")
+    wd = Window.partitionBy("doc_id")
+    for _ in range(PLSA_ITERS):
+        joint = (
+            tf.join(pzd, "doc_id")
+            .join(F.broadcast(pwz), ["term", "z"])
+            .withColumn("q", F.col("pzd") * F.col("pwz"))
+            .withColumn("r", F.col("q") / F.sum("q").over(wdw))
+            .select("doc_id", "term", "z", "n", "r")
+            .localCheckpoint()
+        )
+        num = joint.groupBy("doc_id", "z").agg(
+            F.sum(F.col("n") * F.col("r")).alias("s")
+        )
+        pzd = num.withColumn("pzd", F.col("s") / F.sum("s").over(wd)).select(
+            "doc_id", "z", "pzd"
+        )
+        wnum = joint.groupBy("term", "z").agg(
+            F.sum(F.col("n") * F.col("r")).alias("s")
+        )
+        pwz = wnum.withColumn("pwz", F.col("s") / F.sum("s").over(wz)).select(
+            "term", "z", "pwz"
+        )
+    wtop = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round("pzd", 9)), F.asc("z")
+    )
+    return (
+        pzd.withColumn("rk", F.row_number().over(wtop))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("z").alias("main_topic"),
+            F.round("pzd", 6).alias("p_r"),
+        )
+    )
+
+
+def _sql_plsa() -> str:
+    from information_retrieval_spark.ops.common import sql_hash32
+
+    cte = [
+        """tf AS MATERIALIZED (
+  SELECT doc_id, term, count(*) AS n
+  FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents
+  )
+  WHERE term <> ''
+  GROUP BY doc_id, term
+)""",
+        f"zz AS (SELECT unnest(generate_series(0, {N_TOPICS - 1}))::INT AS z)",
+        f"""pwz0 AS MATERIALIZED (
+  SELECT term, z, s / sum(s) OVER (PARTITION BY z) AS pwz FROM (
+    SELECT v.term, zz.z,
+           ({sql_hash32("v.term || '#' || zz.z::VARCHAR")} % 1000 + 1)::DOUBLE AS s
+    FROM (SELECT DISTINCT term FROM tf) v CROSS JOIN zz
+  )
+)""",
+        f"""pzd0 AS MATERIALIZED (
+  SELECT doc_id, z, 1.0::DOUBLE / {N_TOPICS} AS pzd
+  FROM (SELECT DISTINCT doc_id FROM tf) CROSS JOIN zz
+)""",
+    ]
+    for i in range(1, PLSA_ITERS + 1):
+        p = i - 1
+        cte.append(
+            f"""joint{i} AS MATERIALIZED (
+  SELECT doc_id, term, z, n,
+         q / sum(q) OVER (PARTITION BY doc_id, term) AS r
+  FROM (
+    SELECT tf.doc_id, tf.term, d.z, tf.n, d.pzd * w.pwz AS q
+    FROM tf
+    JOIN pzd{p} d ON tf.doc_id = d.doc_id
+    JOIN pwz{p} w ON tf.term = w.term AND d.z = w.z
+  )
+)"""
+        )
+        cte.append(
+            f"""pzd{i} AS MATERIALIZED (
+  SELECT doc_id, z, s / sum(s) OVER (PARTITION BY doc_id) AS pzd FROM (
+    SELECT doc_id, z, sum(n * r) AS s FROM joint{i} GROUP BY doc_id, z
+  )
+)"""
+        )
+        cte.append(
+            f"""pwz{i} AS MATERIALIZED (
+  SELECT term, z, s / sum(s) OVER (PARTITION BY z) AS pwz FROM (
+    SELECT term, z, sum(n * r) AS s FROM joint{i} GROUP BY term, z
+  )
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"""
+SELECT doc_id, z AS main_topic, round(pzd, 6) AS p_r FROM (
+  SELECT doc_id, z, pzd,
+    row_number() OVER (
+      PARTITION BY doc_id ORDER BY round(pzd, 9) DESC, z ASC
+    ) AS rk
+  FROM pzd{PLSA_ITERS}
+) WHERE rk = 1
+"""
+    )
+
+
+SQL_PLSA_TOPICS = _sql_plsa()

@@ -214,3 +214,23 @@ def test_purity_confusion_consistent(spark):
     n_labels = len({r.label for r in rows})
     # purity is at least the majority-label share of each cluster
     assert 1.0 / n_labels <= rows[0].purity_r <= 1.0
+
+
+def test_plsa_topics_invariants(spark):
+    """G4 analogue: every doc gets exactly one main topic, probabilities
+    are valid, the fit is deterministic, and the model actually
+    discriminates (not all docs collapse into one topic)."""
+    from information_retrieval_spark.ops import ml
+
+    rows = ml.q_plsa_topics(spark, SF).collect()
+    n_docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    for r in rows:
+        assert 0 <= r.main_topic < ml.N_TOPICS
+        # the arg-max topic of a T-topic distribution has mass >= 1/T
+        assert 1.0 / ml.N_TOPICS - 1e-6 <= r.p_r <= 1.0 + 1e-6
+    assert len({r.main_topic for r in rows}) >= 2
+    again = {(r.doc_id, r.main_topic, r.p_r)
+             for r in ml.q_plsa_topics(spark, SF).collect()}
+    assert {(r.doc_id, r.main_topic, r.p_r) for r in rows} == again
