@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": dedup.q_minhash_pairs,
         "simhash": dedup.q_simhash,
         "jaccard_pairs": dedup.q_jaccard_pairs,
+        "embedding_dups": similarity.q_embedding_dups,
         # --- similarity search over `embeddings` ---------------------------
         "cosine_topk": similarity.q_cosine_topk,
         "srp_buckets": similarity.q_srp_buckets,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": dedup.SQL_MINHASH_PAIRS,
         "simhash": dedup.SQL_SIMHASH,
         "jaccard_pairs": dedup.SQL_JACCARD_PAIRS,
+        "embedding_dups": similarity.SQL_EMBEDDING_DUPS,
         "cosine_topk": similarity.SQL_COSINE_TOPK,
         "srp_buckets": similarity.SQL_SRP_BUCKETS,
         "ann_lsh_topk": similarity.SQL_ANN_LSH_TOPK,

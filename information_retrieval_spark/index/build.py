@@ -167,6 +167,9 @@ class IndexBuilder:
         self.n_buckets = n_buckets
         self.stop_terms = stop_terms
         self.category_col = category_col
+        import threading
+
+        self._commit_lock = threading.Lock()
         self.manifest_path = os.path.join(index_dir, "manifest.json")
         self.manifest: dict = {"stages": {}, "config": {
             "sections": sections, "tokenizer": tokenizer, "stop_k": stop_k,
@@ -184,12 +187,13 @@ class IndexBuilder:
                 self.manifest = on_disk
 
     def _commit_stage(self, name: str, info: dict) -> None:
-        self.manifest["stages"][name] = info
-        os.makedirs(self.index_dir, exist_ok=True)
-        tmp = self.manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.manifest, f, indent=1, sort_keys=True)
-        os.replace(tmp, self.manifest_path)
+        with self._commit_lock:  # stages may commit from concurrent threads
+            self.manifest["stages"][name] = info
+            os.makedirs(self.index_dir, exist_ok=True)
+            tmp = self.manifest_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.manifest, f, indent=1, sort_keys=True)
+            os.replace(tmp, self.manifest_path)
 
     def _done(self, name: str) -> bool:
         return name in self.manifest["stages"]
@@ -336,7 +340,7 @@ class IndexBuilder:
             _write(dl, self.path("doclen"), ["doc_id"])
             return {}
 
-        stage("doclen", s_doclen)
+        # ----- stages 5-8 are independent given postings_flat ---------------
 
         # stage 6: term_df — docs containing term in ANY section (trie
         # doc-key semantics, `trie/phase1.py:22-25`)
@@ -347,8 +351,6 @@ class IndexBuilder:
             _write(tdf, self.path("term_df"), ["term"])
             return {}
 
-        stage("term_df", s_term_df)
-
         # stage 7: bigram vocabulary for spell correction — DISTINCT cleaned
         # terms incl. stop words (`bigram_index/phase1.py:45-59` builds over
         # cleaned_documents, pre-stop-removal)
@@ -356,8 +358,6 @@ class IndexBuilder:
             vocab = postings_all.select("term").distinct()
             _write(vocab, self.path("vocab"), ["term"])
             return {}
-
-        stage("vocab", s_vocab)
 
         # stage 8: packed block-max shards (delta-gap + varint, per-block
         # max_tf/min_dl — the north_star layout; index/pack.py)
@@ -367,7 +367,29 @@ class IndexBuilder:
             pack_index(self.spark, self.index_dir)
             return {}
 
-        stage("packed", s_packed)
+        # doclen / term_df / vocab depend only on the committed postings
+        # tables, and packed only additionally on doclen — so they are
+        # SUBMITTED CONCURRENTLY: these are small fixed-latency jobs
+        # (driver scheduling + one tiny shuffle + a write), and sequential
+        # execution makes them the Amdahl floor of the whole build once
+        # tokenization is fast. Overlapping them is exactly what a DAG
+        # scheduler on a real cluster does; the Spark scheduler
+        # interleaves jobs from threads. Each stage still commits its own
+        # manifest entry (lock-guarded), so resume semantics are
+        # unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            f_doclen = ex.submit(stage, "doclen", s_doclen)
+            f_rest = [
+                ex.submit(stage, name, fn)
+                for name, fn in (("term_df", s_term_df), ("vocab", s_vocab))
+            ]
+            f_doclen.result()  # packed reads doclen (per-posting dl blocks)
+            f_packed = ex.submit(stage, "packed", s_packed)
+            for f in f_rest:
+                f.result()
+            f_packed.result()
 
         # stage 9: lineage/metrics — per-partition accounting of every core
         # table (north_rule: per-partition lineage + metrics). Each row:

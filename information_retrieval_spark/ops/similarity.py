@@ -116,16 +116,16 @@ def _srp_planes(spark: SparkSession) -> DataFrame:
     )
 
 
-def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, tbl, bucket): SRP_BITS-bit sign-random-projection bucket per
-    vector per LSH table. explode(embedding) ⨝broadcast planes →
-    per-(vec,tbl,bit) dot sign → bit-pack. Shuffle grain: (vec_id, tbl,
-    bit) then (vec_id, tbl) — never wider than the signature itself."""
-    e = _emb(spark, sf_dir)
+def srp_buckets(e: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket) over any (vec_id, embedding) DataFrame —
+    SRP_BITS-bit sign-random-projection bucket per vector per LSH table.
+    explode(embedding) ⨝broadcast planes → per-(vec,tbl,bit) dot sign →
+    bit-pack. Shuffle grain: (vec_id, tbl, bit) then (vec_id, tbl) —
+    never wider than the signature itself."""
     comp = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    planes = _srp_planes(spark)
+    planes = _srp_planes(e.sparkSession)
     proj = (
         comp.join(F.broadcast(planes), "dim")
         .groupBy("vec_id", "tbl", "bit")
@@ -148,9 +148,22 @@ def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry: SRP buckets over the embeddings table."""
+    return srp_buckets(_emb(spark, sf_dir))
+
+
 _COEF = sql_hash32("format('t{}p{}d{}', t.tbl, b.bit, d.dim)".replace('{}', '\x7b\x7d'))
 
-SQL_SRP_BUCKETS = f"""
+_SQL_COMP_EMB = f"""
+  SELECT vec_id, (i - 1) AS dim, embedding[i]::DOUBLE AS x
+  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
+"""
+
+
+def _sql_srp_buckets_over(comp_sql: str) -> str:
+    """SRP bucket SQL over any (vec_id, dim, x) component relation."""
+    return f"""
 WITH planes AS (
   SELECT t.tbl, b.bit, d.dim,
          {_COEF} / {float(1 << 31)} - 1.0 AS coef
@@ -158,10 +171,7 @@ WITH planes AS (
   CROSS JOIN (SELECT unnest(generate_series(0, {SRP_BITS - 1})) AS bit) b
   CROSS JOIN (SELECT unnest(generate_series(0, {DIM - 1})) AS dim) d
 ),
-comp AS (
-  SELECT vec_id, (i - 1) AS dim, embedding[i]::DOUBLE AS x
-  FROM embeddings, unnest(generate_series(1, {DIM})) AS t(i)
-),
+comp AS ({comp_sql}),
 proj AS (
   SELECT c.vec_id, p.tbl, p.bit, sum(c.x * p.coef) AS p
   FROM comp c JOIN planes p ON c.dim = p.dim
@@ -171,6 +181,9 @@ SELECT vec_id, tbl,
        sum(CASE WHEN round(p, 9) > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS bucket
 FROM proj GROUP BY vec_id, tbl
 """
+
+
+SQL_SRP_BUCKETS = _sql_srp_buckets_over(_SQL_COMP_EMB)
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -250,6 +263,102 @@ FROM (
   FROM scored
 )
 WHERE rank <= {TOP_K}
+"""
+
+
+# ----------------------------------------- embedding-cosine near-dup pairs
+
+DUP_TAU = 0.45
+N_MIRROR = 40
+MIRROR_OFFSET = 100_000
+
+
+def _aug_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings plus deterministic mirror copies of the first N_MIRROR
+    vectors (vec_id + MIRROR_OFFSET): the synthetic table has no true
+    duplicates, so the mirrors make the dedup path's positive class real
+    (cosine exactly 1.0) while the raw tail exercises the near-threshold
+    band. Real pipelines drop this and read the corpus directly."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    mirror = e.filter(F.col("vec_id") < N_MIRROR).select(
+        (F.col("vec_id") + MIRROR_OFFSET).alias("vec_id"), "embedding"
+    )
+    return e.unionByName(mirror)
+
+
+def q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(a, b, sim_r): embedding-cosine near-duplicate pairs — vectors
+    sharing an SRP bucket in ANY LSH table, exact-cosine verified ≥ τ.
+
+    The dedup analogue of ``q_ann_lsh_topk``: candidate generation is the
+    bucketed self-join keyed on (tbl, bucket) — per-bucket work
+    ~ (n/2^SRP_BITS)² per table instead of the O(n²) all-pairs — and the
+    exact zip_with cosine is the verify stage. Candidate recall is the
+    LSH dial (more tables/fewer bits → higher recall, bigger buckets);
+    missed-by-bucketing pairs are the documented tradeoff, identical in
+    the DuckDB twin (bucketing is bit-reproducible)."""
+    aug = _aug_emb(spark, sf_dir)
+    eb = aug.select("vec_id").join(srp_buckets(aug), "vec_id")
+    a, b = eb.alias("a"), eb.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("a"), F.col("b.vec_id").alias("b"))
+        .distinct()
+    )
+    va = aug.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    vb = aug.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    sim = _dot(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_dot(F.col("ea"), F.col("ea")))
+        * F.sqrt(_dot(F.col("eb"), F.col("eb")))
+    )
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .withColumn("sim", sim)
+        .filter(F.round("sim", 9) >= DUP_TAU)
+        .select("a", "b", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+_SQL_COMP_AUG = f"""
+  SELECT vec_id, (i - 1) AS dim, v[i] AS x
+  FROM (
+    SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    UNION ALL
+    SELECT vec_id + {MIRROR_OFFSET}, embedding::DOUBLE[] FROM embeddings
+    WHERE vec_id < {N_MIRROR}
+  ), unnest(generate_series(1, {DIM})) AS t(i)
+"""
+
+SQL_EMBEDDING_DUPS = f"""
+WITH aug AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + {MIRROR_OFFSET}, embedding::DOUBLE[] FROM embeddings
+  WHERE vec_id < {N_MIRROR}
+),
+buckets AS ({_sql_srp_buckets_over(_SQL_COMP_AUG)}),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a, b.vec_id AS b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT c.a, c.b,
+         list_dot_product(va.v, vb.v)
+           / (sqrt(list_dot_product(va.v, va.v))
+              * sqrt(list_dot_product(vb.v, vb.v))) AS sim
+  FROM cand c
+  JOIN aug va ON c.a = va.vec_id
+  JOIN aug vb ON c.b = vb.vec_id
+)
+SELECT a, b, round(sim, 6) AS sim_r FROM scored
+WHERE round(sim, 9) >= {DUP_TAU}
 """
 
 

@@ -51,7 +51,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver heap hosts all executor threads — size it
+        # for the core count (8g across 32 pack tasks holding Arrow batches
+        # + binary blocks showed GC-bound wall-clock noise at local[32])
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -234,3 +234,20 @@ def test_plsa_topics_invariants(spark):
     again = {(r.doc_id, r.main_topic, r.p_r)
              for r in ml.q_plsa_topics(spark, SF).collect()}
     assert {(r.doc_id, r.main_topic, r.p_r) for r in rows} == again
+
+
+def test_embedding_dups_finds_mirrors(spark):
+    """Every mirror copy (an exact duplicate vector) must be recovered as
+    a (v, v+OFFSET) pair with cosine 1.0 — exact duplicates always share
+    every SRP bucket, so LSH candidate generation cannot miss them."""
+    from information_retrieval_spark.ops import similarity
+
+    rows = similarity.q_embedding_dups(spark, SF).collect()
+    pairs = {(r.a, r.b): r.sim_r for r in rows}
+    for v in range(similarity.N_MIRROR):
+        key = (v, v + similarity.MIRROR_OFFSET)
+        assert key in pairs, f"missed exact duplicate {key}"
+        assert pairs[key] == pytest.approx(1.0, abs=1e-6)
+    for (a, b), s in pairs.items():
+        assert similarity.DUP_TAU - 1e-6 <= s <= 1.0 + 1e-6
+        assert a < b
