@@ -64,9 +64,16 @@ class SearchEngine:
     """Reads the index tables written by ``IndexBuilder`` and answers
     batches of ranked-retrieval queries."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, distributed_spell: bool = False
+    ):
+        """``distributed_spell=True`` corrects query tokens with a Spark
+        bigram-table join instead of the driver-side vocabulary dict — the
+        scale path when the vocabulary exceeds driver RAM (same answers:
+        pinned-tie equivalence is tested)."""
         self.spark = spark
         self.index_dir = index_dir
+        self.distributed_spell = distributed_spell
         self.postings = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
         self.doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
         self.term_df = spark.read.parquet(os.path.join(index_dir, "term_df"))
@@ -117,6 +124,16 @@ class SearchEngine:
     def prepare_query_tokens(self, q: QuerySpec) -> list[str]:
         text = correct_text(self.bigram_dict, q.text) if q.spell else q.text
         return self._tokenize_query(text)
+
+    def _spell_map(self, texts: list[str]) -> dict[str, str]:
+        """Batch token→correction map via the distributed bigram join."""
+        from information_retrieval_spark.query.spell import correct_words_spark
+
+        tokens = [t for text in texts for t in text.split()]
+        if not tokens:
+            return {}
+        vocab = self.spark.read.parquet(os.path.join(self.index_dir, "vocab"))
+        return correct_words_spark(vocab, tokens)
 
     def _default_weights(self, q: QuerySpec) -> dict[str, float]:
         if q.section_weights:
@@ -306,11 +323,24 @@ class SearchEngine:
         return out
 
     def _qterm_rows(self, queries: list[QuerySpec]):
-        """Driver-side query prep: spell + tokenize + stop-filter + counts."""
+        """Driver-side query prep: spell + tokenize + stop-filter + counts.
+        With ``distributed_spell`` the whole batch's corrections come from
+        ONE Spark job; otherwise each text uses the driver dict."""
         rows = []
         per_query_tokens = {}
+        fixes = None
+        if self.distributed_spell:
+            fixes = self._spell_map([q.text for q in queries if q.spell])
         for q in queries:
-            toks = self.prepare_query_tokens(q)
+            if q.spell and fixes is not None:
+                from information_retrieval_spark.query.spell import (
+                    apply_corrections,
+                )
+
+                text = apply_corrections(q.text, lambda t: fixes.get(t, t))
+                toks = self._tokenize_query(text)
+            else:
+                toks = self.prepare_query_tokens(q)
             per_query_tokens[q.query_id] = toks
             seen = {}
             for t in toks:

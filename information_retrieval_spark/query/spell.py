@@ -83,9 +83,92 @@ def correct_word(
 def correct_text(bigram_dict: dict[str, dict[str, int]], text: str) -> str:
     """Correct each whitespace token; replace ALL substring occurrences
     (reference `str.replace` semantics, quirk Q7)."""
+    return apply_corrections(
+        text, lambda token: correct_word(bigram_dict, token)
+    )
+
+
+def apply_corrections(text: str, fix) -> str:
+    """Shared replace semantics for any token→correction function."""
     corrected = text
     for token in text.split():
-        fixed = correct_word(bigram_dict, token)
+        fixed = fix(token)
         if fixed != token:
             corrected = corrected.replace(token, fixed)
     return corrected
+
+
+# ------------------------------------------------ distributed (vocab-scale)
+
+def correct_words_spark(
+    vocab, words: list[str], similar_words_limit: int = 20
+) -> dict[str, str]:
+    """Same correction as ``correct_word`` computed WITHOUT collecting the
+    vocabulary: the scale path for vocab >> driver RAM.
+
+    Plan: vocab → char-bigram explode + (term, bg) multiplicity agg (one
+    shuffle at bigram grain), joined against the broadcast query-bigram
+    multiplicities; hits = Σ m_q·m_w per (word, term); the Jaccard-ish
+    score, top-20 window and min-Levenshtein pick reproduce the driver
+    path's ordering exactly (ties pinned identically), verified by an
+    equivalence test. Returns {word: best} for words with ≥1 candidate.
+
+    ``vocab`` is a (term) DataFrame (the index's ``vocab`` table).
+    """
+    from pyspark.sql import Window, functions as F
+
+    spark = vocab.sparkSession
+    qrows = []
+    for word in dict.fromkeys(words):  # distinct, order-preserving
+        counts: dict[str, int] = {}
+        for bg in word_bigrams(word):
+            counts[bg] = counts.get(bg, 0) + 1
+        for bg, mq in counts.items():
+            qrows.append((word, bg, mq, len(word)))
+    if not qrows:
+        return {}
+    q = spark.createDataFrame(qrows, "word string, bg string, mq int, wlen int")
+
+    padded = F.concat(
+        F.lit(WORD_BOUNDARY_CHAR), F.col("term"), F.lit(WORD_BOUNDARY_CHAR)
+    )
+    vb = (
+        vocab.select("term", padded.alias("w"))
+        .select(
+            "term",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1),"
+                    " i -> substring(w, i, 2))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("term", "bg")
+        .agg(F.count("*").alias("mw"))
+    )
+    scored = (
+        vb.join(F.broadcast(q), "bg")
+        .groupBy("word", "term")
+        .agg(
+            F.sum(F.col("mq") * F.col("mw")).alias("hits"),
+            F.first("wlen").alias("wlen"),
+        )
+        .withColumn(
+            "score",
+            F.col("hits")
+            / (F.col("wlen") + F.length("term") + 2 - F.col("hits")),
+        )
+    )
+    w_top = Window.partitionBy("word").orderBy(F.desc("score"), F.asc("term"))
+    w_best = Window.partitionBy("word").orderBy(
+        F.asc("lev"), F.desc("score"), F.asc("term")
+    )
+    best = (
+        scored.withColumn("r", F.row_number().over(w_top))
+        .filter(F.col("r") <= similar_words_limit)
+        .withColumn("lev", F.levenshtein("term", "word"))
+        .withColumn("r2", F.row_number().over(w_best))
+        .filter(F.col("r2") == 1)
+        .select("word", "term")
+    )
+    return {r.word: r.term for r in best.collect()}

@@ -247,9 +247,15 @@ def _wand_query(
 class WandEngine:
     """BM25 top-k via block-max WAND over ``<index_dir>/packed``."""
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, distributed_spell: bool = False
+    ):
+        """``distributed_spell=True``: query-token correction via the
+        Spark bigram-table join (`spell.correct_words_spark`) instead of
+        the driver-side vocabulary dict — vocab never leaves the cluster."""
         self.spark = spark
         self.index_dir = index_dir
+        self.distributed_spell = distributed_spell
         self.packed = spark.read.parquet(os.path.join(index_dir, "packed"))
         self.doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
         self.term_df = spark.read.parquet(os.path.join(index_dir, "term_df"))
@@ -259,18 +265,16 @@ class WandEngine:
             self.config = json.load(f)["config"]
         self.sections = list(self.config["sections"].keys())
         self.tokenizer = self.config["tokenizer"]
-        # delete-vector (index/maintenance.py). Collected to a frozenset for
-        # the scoring closure — at real scale this is a per-partition roaring
-        # bitmap shipped with the shard, not a driver collect.
+        # delete-vector (index/maintenance.py): never collected — the
+        # scoring pass receives each bucket's deleted ids cogrouped with
+        # its shard (see search), so membership stays partition-aligned
+        # at any delete-vector size.
         ddir = os.path.join(index_dir, "deleted_docs")
-        if os.path.exists(ddir):
-            self.deleted_df = spark.read.parquet(ddir).select("doc_id").distinct()
-            self.deleted = frozenset(
-                r.doc_id for r in self.deleted_df.collect()
-            )
-        else:
-            self.deleted_df = None
-            self.deleted = frozenset()
+        self.deleted_df = (
+            spark.read.parquet(ddir).select("doc_id").distinct()
+            if os.path.exists(ddir)
+            else None
+        )
         mdir = os.path.join(index_dir, "doc_meta")
         self.doc_meta = (
             spark.read.parquet(mdir) if os.path.exists(mdir) else None
@@ -357,9 +361,31 @@ class WandEngine:
         modes = {q.match_mode for q in queries}
         assert len(modes) == 1, "mixed match modes: split the batch"
         mode = modes.pop()
+        fixes = None
+        if self.distributed_spell and any(q.spell for q in queries):
+            from information_retrieval_spark.query.spell import (
+                correct_words_spark,
+            )
+
+            vocab = self.spark.read.parquet(
+                os.path.join(self.index_dir, "vocab")
+            )
+            fixes = correct_words_spark(
+                vocab,
+                [t for q in queries if q.spell for t in q.text.split()],
+            )
         qtoks: dict[int, dict[str, int]] = {}
         for q in queries:
-            text = self._correct(q.text) if q.spell else q.text
+            if q.spell and fixes is not None:
+                from information_retrieval_spark.query.spell import (
+                    apply_corrections,
+                )
+
+                text = apply_corrections(q.text, lambda t: fixes.get(t, t))
+            elif q.spell:
+                text = self._correct(q.text)
+            else:
+                text = q.text
             toks = self._tokenize(text)
             mult: dict[str, int] = {}
             for t in toks:
@@ -449,7 +475,8 @@ class WandEngine:
                 )
                 .drop("want_cat", "category")
             )
-        if mode == "prefix" and (self.deleted or cat_map):
+        has_deletes = self.deleted_df is not None
+        if mode == "prefix" and (has_deletes or cat_map):
             # re-check the has_exact gate against LIVE postings, exactly as
             # engine._matched does and BEFORE candidate stats: a fully
             # deleted exact term must suppress its whole expansion,
@@ -484,7 +511,7 @@ class WandEngine:
         # (`engine.py` dfq semantics); otherwise the global term_df table
         # (tiny pushed-filter scan). A qterm with no live group simply never
         # appears → df_of returns None → the term is skipped.
-        per_query_df = mode == "prefix" or bool(self.deleted) or bool(cat_map)
+        per_query_df = mode == "prefix" or has_deletes or bool(cat_map)
         if per_query_df:
             df_agg = live_mq.groupBy("query_id", "qterm").agg(
                 F.countDistinct("doc_id").alias("df")
@@ -557,13 +584,11 @@ class WandEngine:
                     }
             qmeta[q.query_id] = {"terms": terms, "k": q.k}
 
-        deleted = self.deleted
-
         # --- WAND pass per bucket -----------------------------------------
         # (applyInPandas dispatches on function arity — a 2-arg callable is
         # called as (key, pdf) — so the plain path gets a 1-arg wrapper)
         def wand_bucket_impl(
-            pdf: pd.DataFrame, cat_of: dict | None
+            pdf: pd.DataFrame, cat_of: dict | None, deleted: frozenset
         ) -> pd.DataFrame:
             by_ts: dict[tuple[str, str], list] = {}
             pdf = pdf.sort_values(["term", "section", "block_id"])
@@ -606,31 +631,50 @@ class WandEngine:
                 {"query_id": out_q, "doc_id": out_d, "score": out_s}
             )
 
+        # per-doc side information (category membership, delete vector) is
+        # shipped PARTITION-ALIGNED with the shards: one union frame
+        # (doc_id, kind, val) bucketed by the same doc-hash as the pack
+        # layout and cogrouped with the shard — nothing corpus-sized ever
+        # passes through the driver
+        metas = []
         if cat_map:
-            # ship the category map partition-aligned with the shards:
-            # doc_meta rows for the requested categories, bucketed by the
-            # same doc-hash as the pack layout, cogrouped with the shard —
-            # membership never passes through the driver (the delete-vector
-            # frozenset above is the small-side exception, flagged in-code)
             wanted = sorted(set(cat_map.values()))
-            meta_b = (
-                self.doc_meta.filter(F.col("category").isin(wanted))
-                .select("doc_id", "category")
-                .withColumn(
-                    "bucket",
-                    F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast(
-                        "int"
-                    ),
+            metas.append(
+                self.doc_meta.filter(F.col("category").isin(wanted)).select(
+                    "doc_id",
+                    F.lit("cat").alias("kind"),
+                    F.col("category").alias("val"),
                 )
+            )
+        if has_deletes:
+            metas.append(
+                self.deleted_df.select(
+                    "doc_id",
+                    F.lit("del").alias("kind"),
+                    F.lit(None).cast("string").alias("val"),
+                )
+            )
+        if metas:
+            meta_b = metas[0]
+            for m in metas[1:]:
+                meta_b = meta_b.unionByName(m)
+            meta_b = meta_b.withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast("int"),
             )
 
             def wand_cogroup(
                 left: pd.DataFrame, right: pd.DataFrame
             ) -> pd.DataFrame:
+                is_del = right["kind"].to_numpy() == "del"
+                deleted = frozenset(right["doc_id"].to_numpy()[is_del].tolist())
                 cat_of = dict(
-                    zip(right["doc_id"].tolist(), right["category"].tolist())
+                    zip(
+                        right["doc_id"].to_numpy()[~is_del].tolist(),
+                        right["val"].to_numpy()[~is_del].tolist(),
+                    )
                 )
-                return wand_bucket_impl(left, cat_of)
+                return wand_bucket_impl(left, cat_of, deleted)
 
             per_bucket = (
                 shard.groupby("bucket")
@@ -639,7 +683,7 @@ class WandEngine:
             )
         else:
             def wand_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-                return wand_bucket_impl(pdf, None)
+                return wand_bucket_impl(pdf, None, frozenset())
 
             per_bucket = shard.groupBy("bucket").applyInPandas(
                 wand_bucket, _TOPK_SCHEMA

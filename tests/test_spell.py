@@ -38,3 +38,46 @@ def test_correct_text_replaces_all_occurrences():
 def test_bigram_multiplicity_counts():
     d = build_bigram_dict(["aaa"])  # ¶a,aa,aa,a¶ → 'aa' multiplicity 2
     assert d["aa"]["aaa"] == 2
+
+
+def test_distributed_correction_matches_driver(spark, index_dir):
+    """correct_words_spark (bigram-table join, vocab never collected) must
+    pick the SAME correction as the driver-dict path for every token —
+    including exact-vocab words, misspellings, and no-candidate gibberish."""
+    from information_retrieval_spark.query.spell import (
+        build_bigram_dict,
+        correct_word,
+        correct_words_spark,
+    )
+
+    vocab_df = spark.read.parquet(f"{index_dir}/vocab")
+    vocab = [r.term for r in vocab_df.collect()]
+    d = build_bigram_dict(vocab)
+    words = ["tokeniezr", "steram", "buffre", "tokenizer", "zzqqxx",
+             "parsre", "matrxi", "a"]
+    got = correct_words_spark(vocab_df, words)
+    for w in words:
+        assert got.get(w, w) == correct_word(d, w), w
+
+
+def test_engine_distributed_spell_rank_identity(spark, index_dir):
+    """Both engines with distributed_spell=True answer misspelled queries
+    identically to the driver-dict default."""
+    from information_retrieval_spark.query.engine import QuerySpec, SearchEngine
+    from information_retrieval_spark.query.wand import WandEngine
+
+    specs = [
+        QuerySpec(1, "tokeniezr steram", "okapi25", 10, match_mode="exact"),
+        QuerySpec(2, "buffre matrxi parsre", "okapi25", 10, match_mode="exact"),
+    ]
+
+    def res(engine):
+        return sorted(
+            (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+            for r in engine.search(specs).collect()
+        )
+
+    want = res(SearchEngine(spark, index_dir))
+    assert want, "misspelled queries should still match after correction"
+    assert res(SearchEngine(spark, index_dir, distributed_spell=True)) == want
+    assert res(WandEngine(spark, index_dir, distributed_spell=True)) == want
