@@ -300,6 +300,9 @@ class IndexBuilder:
                     .limit(self.stop_k)
                     .withColumn(
                         "rank",
+                        # global window over the K-row stop list: the
+                        # WindowExec single-partition warning is expected
+                        # and harmless at this size
                         F.row_number().over(
                             Window.orderBy(F.desc("cnt"), F.asc("term"))
                         ),

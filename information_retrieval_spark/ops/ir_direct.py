@@ -80,6 +80,8 @@ def q_stop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative stop words with deterministic rank (A1 + Q6)."""
     t = tokens_view(load_documents(spark, sf_dir))
     top = stop_terms_df(t, STOP_K)
+    # global window over an already-limited K-row frame: the WindowExec
+    # single-partition warning is expected and harmless at this size
     w = Window.orderBy(F.desc("cnt"), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "term", "cnt"
