@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_ltn": ir_direct.q_tfidf_ltn,           # F6/F9
         "tfidf_ltc": ir_direct.q_tfidf_ltc,           # F6/F7/F9
         "bigram_index": ir_direct.q_bigram_index,     # A6/F3
+        "highlight": ir_direct.q_highlight,           # F13 (scan-wide markup)
         "wand_topk": engine_entry.q_wand_topk,        # M2+M5 packed index + WAND
         "spell_correct": engine_entry.q_spell_correct, # F3-F5 + Q7
         # --- text analysis -------------------------------------------------
@@ -82,6 +83,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": multimodal.q_media_features, # binary cols pipeline
         # --- graph scoring -------------------------------------------------
         "pagerank": graph.q_pagerank,                 # G1 (fixed iters)
+        "ppr": graph.q_ppr,                           # G1 personalized (phase-3)
         "rank_fusion": graph.q_rank_fusion,           # F11/F12 (phase-3)
         "hits": graph.q_hits,                         # G2
         # --- ML parity (G3/G5) ---------------------------------------------
@@ -110,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_ltn": ir_direct.SQL_TFIDF_LTN,
         "tfidf_ltc": ir_direct.SQL_TFIDF_LTC,
         "bigram_index": ir_direct.SQL_BIGRAM_INDEX,
+        "highlight": ir_direct.SQL_HIGHLIGHT,
         # WAND over the packed binary index must equal the declarative BM25
         # plan — same logical query, different physical strategy:
         "wand_topk": ir_direct.SQL_BM25_TOPK,
@@ -137,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         # float32 features from the hex digest (multimodal._sql_media_features)
         "media_features": multimodal.SQL_MEDIA_FEATURES,
         "pagerank": graph.SQL_PAGERANK,
+        "ppr": graph.SQL_PPR,
         "rank_fusion": graph.SQL_RANK_FUSION,
         "naive_bayes": ml.SQL_NAIVE_BAYES,
         "user_knn": recsys.SQL_USER_KNN,

@@ -281,6 +281,65 @@ SQL_RANK_FUSION = _sql_rank_fusion()
 
 # ----------------------------------------------- personalized PageRank (G1)
 
+PPR_PREFS = {3: 2.0, 77: 1.0, 140: 1.0}  # fixture professor preferences
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pr_r): the reference's ADDITIVE-teleport personalized
+    PageRank (`search/phase3.py:23-82` — preferred nodes gain
+    (1−d)·pref(v) ON TOP of the uniform teleport; the vector does not sum
+    to 1) after exactly N_ITERS iterations, so the SQL twin can unroll
+    the recurrence like SQL_PAGERANK with a per-node base term."""
+    e = edges_df(spark, sf_dir)
+    nodes = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    # tol < 0 disables early convergence: exactly max_iter iterations
+    ranks = personalized_pagerank(
+        spark, e, nodes, dict(PPR_PREFS), tol=-1.0, max_iter=N_ITERS
+    )
+    return ranks.select("doc_id", F.round("pr", 9).alias("pr_r"))
+
+
+def _sql_ppr() -> str:
+    vals = ", ".join(f"({k}, {float(v)})" for k, v in PPR_PREFS.items())
+    cte = [
+        f"e AS MATERIALIZED ({SQL_EDGES})",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM documents)",
+        f"prefs(doc_id, w) AS (VALUES {vals})",
+        "tot AS (SELECT sum(w) AS t FROM prefs)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src)",
+        "ed AS MATERIALIZED (SELECT e.src, e.dst, deg.outdeg"
+        " FROM e JOIN deg ON e.src = deg.src)",
+        f"""base AS MATERIALIZED (
+  SELECT d.doc_id,
+         (1.0 - {DAMPING})::DOUBLE / nn.n
+         + (1.0 - {DAMPING}) * coalesce(p.w / tot.t, 0.0::DOUBLE) AS b
+  FROM documents d CROSS JOIN nn CROSS JOIN tot
+  LEFT JOIN prefs p ON d.doc_id = p.doc_id
+)""",
+        "r0 AS (SELECT doc_id, 1.0::DOUBLE / nn.n AS pr FROM documents, nn)",
+    ]
+    for i in range(N_ITERS):
+        prev, cur = f"r{i}", f"r{i + 1}"
+        cte.append(
+            f"""{cur} AS MATERIALIZED (
+  SELECT base.doc_id,
+         base.b + {DAMPING} * coalesce(i.inflow, 0.0::DOUBLE) AS pr
+  FROM base
+  LEFT JOIN (
+    SELECT ed.dst, sum({prev}.pr / ed.outdeg) AS inflow
+    FROM ed JOIN {prev} ON ed.src = {prev}.doc_id
+    GROUP BY ed.dst
+  ) i ON base.doc_id = i.dst
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT doc_id, round(pr, 9) AS pr_r FROM r{N_ITERS}"
+    )
+
+
+SQL_PPR = _sql_ppr()
+
 def personalized_pagerank(
     spark: SparkSession,
     edges: DataFrame,

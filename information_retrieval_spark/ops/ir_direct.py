@@ -332,6 +332,45 @@ SQL_BM25_TOPK = _sql_bm25_topk(None)
 SQL_BM25_TOPK_LANG = _sql_bm25_topk(FILTER_LANG)
 
 
+# --------------------------------------------------------------- highlight
+
+HIGHLIGHT_TERMS = ("hash", "join", "data", "stream")
+
+
+def q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, marked, n_marks): corpus-scale match highlighting (F13,
+    `common.py:158-170` semantics as a declarative scan-wide op): every
+    whole-word, case-insensitive occurrence of a query term is wrapped in
+    <mark>…</mark>. One JVM-side regexp_replace — no UDF, no shuffle; at
+    100 TB this is scan-speed snippet generation. (The engine's result-row
+    highlighter uses the index's stored offsets instead —
+    `query/highlight.py`, pytest-covered.)"""
+    alt = "|".join(HIGHLIGHT_TERMS)
+    d = load_documents(spark, sf_dir)
+    marked = F.regexp_replace(
+        F.col("text"), f"(?i)\\b({alt})\\b", "<mark>$1</mark>"
+    )
+    return d.select(
+        "doc_id",
+        marked.alias("marked"),
+        (
+            (F.length(marked) - F.length("text"))
+            / (len("<mark></mark>"))
+        ).cast("int").alias("n_marks"),
+    )
+
+
+SQL_HIGHLIGHT = f"""
+SELECT doc_id,
+       regexp_replace(text, '\\b({"|".join(HIGHLIGHT_TERMS)})\\b',
+                      '<mark>\\1</mark>', 'gi') AS marked,
+       ((length(regexp_replace(text, '\\b({"|".join(HIGHLIGHT_TERMS)})\\b',
+                               '<mark>\\1</mark>', 'gi')) - length(text))
+        / {len("<mark></mark>")})::INT AS n_marks
+FROM documents
+"""
+
+
 # ------------------------------------------------------------------ tf-idf
 
 def _tfidf(spark: SparkSession, sf_dir: str, cosine: bool) -> DataFrame:
