@@ -151,3 +151,62 @@ def test_filter_survives_incremental_add(spark, tmp_path_factory):
     want = _res(SearchEngine(spark, fresh), specs)
     assert _res(SearchEngine(spark, d), specs) == want
     assert _res(WandEngine(spark, d), specs) == want
+
+
+def test_filter_tfidf_method(spark, cat_index, tmp_path_factory):
+    """The category filter applies to the tf-idf scorers too (same
+    _matched path). Unlike okapi (whose N is the candidate set, quirk Q1),
+    tf-idf's N is the CORPUS-level stat — reference-faithful: phase-2's
+    prebuilt idf stays corpus-level while the doc set is restricted — so
+    the sub-corpus-index comparison checks the RANKED DOC ORDER and
+    category membership, not score equality."""
+    rows = corpus_rows(150)
+    sub = [r for r in rows if r.lang == CAT]
+    fresh = str(tmp_path_factory.mktemp("subltc"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, cat_index),
+    ).build(_df(spark, sub))
+    filtered = [QuerySpec(1, "tokenizer stream", "ltc-lnc", 10, spell=False,
+                          match_mode="exact", filter_category=CAT)]
+    plain = [QuerySpec(1, "tokenizer stream", "ltc-lnc", 10, spell=False,
+                       match_mode="exact")]
+    want = _res(SearchEngine(spark, fresh), plain)
+    got = _res(SearchEngine(spark, cat_index), filtered)
+    assert want and got
+    assert [(rk, d) for rk, d, _ in got[1]] == [
+        (rk, d) for rk, d, _ in want[1]
+    ]
+    lang_of = {r.doc_id: r.lang for r in rows}
+    assert all(lang_of[d] == CAT for _, d, _ in got[1])
+
+
+def test_filter_survives_remove_and_compact(spark, tmp_path_factory):
+    """Logical deletes then compaction keep doc_meta consistent: a
+    filtered query equals a fresh index over (category docs − removed)."""
+    from information_retrieval_spark.index.maintenance import IndexMaintenance
+
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("catrm"))
+    IndexBuilder(
+        spark, d, SECTIONS, tokenizer="code", stop_k=10, category_col="lang"
+    ).build(_df(spark, rows))
+    removed = [r.doc_id for r in rows if r.lang == CAT][:3]
+    assert removed
+    maint = IndexMaintenance(spark, d)
+    maint.remove_documents(removed)
+
+    kept = [r for r in rows if r.doc_id not in set(removed)]
+    fresh = str(tmp_path_factory.mktemp("catrmfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        category_col="lang", stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, kept))
+    specs = [QuerySpec(1, "tokenizer stream", "okapi25", 10, spell=False,
+                       match_mode="exact", filter_category=CAT)]
+    want = _res(SearchEngine(spark, fresh), specs)
+    assert _res(SearchEngine(spark, d), specs) == want
+    assert _res(WandEngine(spark, d), specs) == want
+    maint.compact()
+    assert _res(SearchEngine(spark, d), specs) == want
+    assert _res(WandEngine(spark, d), specs) == want
