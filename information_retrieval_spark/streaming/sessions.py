@@ -1,0 +1,128 @@
+"""Custom stateful streaming operator: gap-based sessionization with
+``applyInPandasWithState``.
+
+The batch twin is ``ops/events.q_sessionize`` (30-min inactivity gap); the
+streaming version keeps one state blob per user — (open-session start,
+last event ts, event count, sessions closed so far) — and EMITS a session
+row the moment an arriving event's gap closes it. The per-user session_id
+is the running closed-session ordinal, identical to the batch plan's
+windowed ``sum(new_session)`` numbering when events arrive in ts order per
+user (the file-stream test feeds ordered batches; out-of-order arrivals
+within a micro-batch are sorted before folding).
+
+Closing the LAST session of a user needs an end-of-input signal: in
+production that is an event-time timeout against the watermark
+(``GroupStateTimeout.EventTimeTimeout``); the drain-equivalence test uses
+the simpler deterministic device of a far-future flush sentinel per user,
+which closes every real session and leaves only the sentinel's own session
+open (never emitted).
+
+Scale notes: state is O(active users) × a few scalars, partitioned by
+user_id — the canonical keyed-state shape; each micro-batch shuffles only
+its own events on user_id.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from information_retrieval_spark.ops.events import SESSION_GAP_S
+from information_retrieval_spark.streaming.windows import EVENTS_SCHEMA
+
+SESSIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("start_s", T.LongType(), False),
+        T.StructField("end_s", T.LongType(), False),
+    ]
+)
+
+# state: (open_start_s, last_s, n_events, closed_count)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("open_start_s", T.LongType(), True),
+        T.StructField("last_s", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("closed", T.LongType(), True),
+    ]
+)
+
+
+def _fold_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        open_start, last, n_ev, closed = state.get
+    else:
+        open_start = last = None
+        n_ev = 0
+        closed = 0
+    out = []
+    for pdf in pdfs:
+        ts = sorted(int(v) for v in (pdf["ts"].astype("int64") // 10**9))
+        for t in ts:
+            if open_start is None:
+                open_start, last, n_ev = t, t, 1
+                continue
+            if t - last > SESSION_GAP_S:
+                closed += 1
+                out.append((user_id, closed, n_ev, open_start, last))
+                open_start, last, n_ev = t, t, 1
+            else:
+                last = t
+                n_ev += 1
+    state.update((open_start, last, n_ev, closed))
+    yield pd.DataFrame(
+        out, columns=[f.name for f in SESSIONS_SCHEMA.fields]
+    ).astype("int64")
+
+
+def sessionize_stream(
+    spark: SparkSession, watch_dir: str, files_per_trigger: int | None = 1
+):
+    """readStream → per-user stateful fold → closed-session rows.
+    ``files_per_trigger=1`` (default) processes one file per micro-batch so
+    state genuinely carries across batches (tests feed time-ordered
+    files); None lets availableNow drain everything in one batch."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
+    stream = reader.parquet(watch_dir)
+    return (
+        stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_sessions,
+            outputStructType=SESSIONS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def drain_sessions(
+    spark: SparkSession,
+    watch_dir: str,
+    checkpoint_dir: str,
+    table: str = "stream_sessions",
+):
+    """Drain all available files; returns the emitted closed sessions."""
+    q = (
+        sessionize_stream(spark, watch_dir)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(table)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)
