@@ -161,10 +161,22 @@ class SearchEngine:
         if match_mode == "exact":
             m = p.join(F.broadcast(qterms), p.term == qterms.qterm)
         else:
-            cond = (p.term >= qterms.qterm) & (
-                p.term < F.concat(qterms.qterm, F.lit(MAX_CHAR))
+            # expand prefixes against the VOCABULARY-sized term dictionary
+            # (a range join over term_df is a tiny nested loop), then
+            # equi-join the postings on the expanded terms — range-joining
+            # the postings table directly would be a nested-loop full scan
+            # of the biggest table in the system. The expansion table is
+            # |matches|·|qterms| rows (broadcastable for sane prefixes; a
+            # pathological 1-char prefix blows up the MATCH SET itself, not
+            # just this table). WandEngine additionally collects the
+            # expansion to literal IN filters for parquet row-group pruning.
+            cond = (self.term_df.term >= qterms.qterm) & (
+                self.term_df.term < F.concat(qterms.qterm, F.lit(MAX_CHAR))
             )
-            m = p.join(F.broadcast(qterms), cond)
+            expanded = self.term_df.select("term").join(
+                F.broadcast(qterms), cond
+            )
+            m = p.join(F.broadcast(expanded), "term")
         if cat_df is not None:
             if self.doc_meta is None:
                 raise ValueError(
