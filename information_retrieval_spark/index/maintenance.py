@@ -187,10 +187,15 @@ class IndexMaintenance:
         pack_index(self.spark, self.index_dir)
 
     def _swap(self, table: str) -> None:
+        """rmtree-then-rename swap. Not atomic: a crash between the two
+        steps leaves the table absent with ``<table>__new`` complete —
+        re-running the operation (compact is idempotent over the same
+        delete vector, which is only cleared at the very end) recovers;
+        ``ignore_errors`` makes that re-run possible."""
         import shutil
 
         old, new = self._p(table), self._p(table + "__new")
-        shutil.rmtree(old)
+        shutil.rmtree(old, ignore_errors=True)
         os.replace(new, old)
 
     # --------------------------------------------------------------- remove
@@ -215,6 +220,12 @@ class IndexMaintenance:
         if d is None:
             return
         spark = self.spark
+        # finish any swap a previous compact crashed in the middle of
+        # (table rmtree'd, complete __new still pending its rename)
+        for table in ("postings_flat", "doclen", "doc_meta", "term_df"):
+            live, new = self._p(table), self._p(table + "__new")
+            if not os.path.exists(live) and os.path.isdir(new):
+                os.replace(new, live)
         dd = F.broadcast(d.select("doc_id").distinct())
         tables = ["postings_flat", "doclen"]
         if os.path.isdir(self._p("doc_meta")):

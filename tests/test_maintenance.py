@@ -153,3 +153,46 @@ def test_prefix_gate_respects_deletes(spark, tmp_path_factory):
     got = res(WandEngine(spark, idx))
     assert 1 not in want, "exhaustive engine must gate the dead exact term"
     assert got == want
+
+
+def test_compact_recovers_from_crash_mid_swap(spark, tmp_path_factory):
+    """A crash between a compact swap's rmtree and rename leaves the live
+    table absent with <table>__new complete; re-running compact must
+    finish the rename and converge (the delete vector is only cleared at
+    the very end, so the re-run sees the same deletes)."""
+    import os as _os
+    import shutil
+
+    rows = corpus_rows(120)
+    removed = {r.doc_id for r in rows[30:50]}
+    kept = [r for r in rows if r.doc_id not in removed]
+    d = str(tmp_path_factory.mktemp("crashcompact"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows)
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.remove_documents(sorted(removed))
+
+    # simulate the crash window on doclen: filtered table staged as __new,
+    # live dir removed, rename never happened
+    live = spark.read.parquet(f"{d}/doclen")
+    dd = spark.createDataFrame([(x,) for x in sorted(removed)], "doc_id long")
+    live.join(dd, "doc_id", "left_anti").write.mode("overwrite").parquet(
+        f"{d}/doclen__new"
+    )
+    shutil.rmtree(f"{d}/doclen")
+    assert not _os.path.exists(f"{d}/doclen")
+
+    maint.compact()  # must recover, not crash
+
+    fresh = str(tmp_path_factory.mktemp("crashfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, kept))
+    assert _results(SearchEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
+    assert _results(WandEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
