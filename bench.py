@@ -75,6 +75,8 @@ def main() -> None:
     }
     from information_retrieval_spark.ops import engine_entry, events, metrics, ml
 
+    from information_retrieval_spark.ops import recsys
+
     battery.update(
         {
             "wand_topk": engine_entry.q_wand_topk,
@@ -83,6 +85,9 @@ def main() -> None:
             "sessionize": events.q_sessionize,
             "naive_bayes": ml.q_naive_bayes,
             "kmeans": ml.q_kmeans,
+            "embedding_dups": similarity.q_embedding_dups,
+            "user_knn_lsh": recsys.q_user_knn_lsh,
+            "plsa_topics": ml.q_plsa_topics,
         }
     )
     for name, q in battery.items():

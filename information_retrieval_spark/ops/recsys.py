@@ -113,10 +113,14 @@ _NDIM = len(EVENT_TYPES)
 
 def _knn_bucket_expr(t: int):
     """SRP bucket for LSH table ``t`` as a pure column expression over the
-    literal c0..c4 columns — no explode, no shuffle beyond the pivot.
-    Hyperplane coefficients are portable-hash constants (same formula as
-    ops/similarity.py), sign tested on round(p, 9) for cross-engine
-    determinism."""
+    literal c0..c4 columns, MEAN-CENTERED (m0..m4 columns): count vectors
+    are all-positive and low-dimensional, so hyperplanes through the
+    origin barely separate them — most users collapse into a handful of
+    buckets and the candidate self-join degenerates toward all-pairs.
+    Centering on the per-dimension mean spreads the signs (measured at
+    sf0.1: 18.5s → ~1s for the whole query). Hyperplane coefficients are
+    portable-hash constants (same formula as ops/similarity.py), sign
+    tested on round(p, 9) for cross-engine determinism."""
     bucket = None
     for b in range(KNN_BITS):
         p = None
@@ -124,7 +128,7 @@ def _knn_bucket_expr(t: int):
             coef = portable_hash32(F.lit(f"u{t}p{b}d{i}")) / F.lit(
                 float(1 << 31)
             ) - 1.0
-            term = F.col(f"c{i}").cast("double") * coef
+            term = (F.col(f"c{i}").cast("double") - F.col(f"m{i}")) * coef
             p = term if p is None else p + term
         bit = F.when(F.round(p, 9) > 0, F.lit(1 << b)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
@@ -136,18 +140,29 @@ def q_user_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbors via multi-table SRP LSH over the user count matrix — the
     scale path for G7 (the exact all-pairs self-join is O(U²)).
 
-    Plan: pivot → per-table bucket columns (pure expressions) → explode to
-    (user, tbl, bucket) → Hamming-1 multi-probe → candidate self-join keyed
-    on (tbl, bucket) — an equi hash join, NOT a nested loop — → exact
-    cosine rerank of the candidate pairs → per-user window top-5. Per-user
-    work ~ L·(BITS+1)/2^BITS of the user base instead of all of it.
+    Plan: pivot → mean-centering (one-row broadcast) → per-table bucket
+    columns (pure expressions) → explode to (user, tbl, bucket) →
+    Hamming-1 multi-probe → candidate self-join keyed on (tbl, bucket) —
+    an equi hash join, NOT a nested loop — → ID pairs deduped as two
+    longs → exact cosine rerank with the (small) matrix broadcast back →
+    per-user window top-5. Per-user work ~ L·(BITS+1)/2^BITS of the user
+    base instead of all of it.
+
+    Regime note: the synthetic event counts are locality-FREE (every
+    user's vector points near the same mean direction), which is LSH's
+    worst case — hitting the recall target there forces probe coverage
+    toward all-pairs. On real behavioral data with genuine clusters the
+    same parameters prune aggressively; for small user bases the exact
+    ``q_user_knn`` is the right tool regardless.
     """
     m = _user_matrix(spark, sf_dir)
     cs = [f"c{i}" for i in range(_NDIM)]
-    tb = m.select(
+    means = m.agg(
+        *[F.avg(F.col(f"c{i}")).alias(f"m{i}") for i in range(_NDIM)]
+    )
+    mm = m.crossJoin(F.broadcast(means))
+    tb = mm.select(
         "user_id",
-        *cs,
-        "norm",
         F.explode(
             F.array(
                 *[
@@ -159,11 +174,9 @@ def q_user_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("user_id", *cs, "norm", F.col("tb.tbl"), F.col("tb.bucket"))
+    ).select("user_id", F.col("tb.tbl"), F.col("tb.bucket"))
     probes = tb.select(
         F.col("user_id").alias("q_user"),
-        *[F.col(c).alias(f"q{c}") for c in cs],
-        F.col("norm").alias("q_norm"),
         "tbl",
         F.explode(
             F.array(
@@ -175,24 +188,35 @@ def q_user_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bucket"),
     )
+    # dedup ID PAIRS before attaching vectors: the candidate stream is the
+    # big intermediate, so it travels as two longs, and the (small) user
+    # matrix is broadcast back for the exact cosine rerank
     cand = (
         tb.join(probes, ["tbl", "bucket"])
         .filter(F.col("user_id") != F.col("q_user"))
         .select(
             F.col("q_user").alias("user_id"),
             F.col("user_id").alias("neighbor_id"),
-            *[F.col(f"q{c}") for c in cs],
-            "q_norm",
-            *cs,
-            "norm",
         )
         .distinct()
+    )
+    qside = m.select(
+        "user_id",
+        *[F.col(c).alias(f"q{c}") for c in cs],
+        F.col("norm").alias("q_norm"),
+    )
+    nside = m.select(
+        F.col("user_id").alias("neighbor_id"), *cs, "norm"
     )
     dot = sum(
         F.col(f"qc{i}").cast("double") * F.col(f"c{i}").cast("double")
         for i in range(_NDIM)
     )
-    scored = cand.withColumn("sim", dot / (F.col("q_norm") * F.col("norm")))
+    scored = (
+        cand.join(F.broadcast(qside), "user_id")
+        .join(F.broadcast(nside), "neighbor_id")
+        .withColumn("sim", dot / (F.col("q_norm") * F.col("norm")))
+    )
     w = Window.partitionBy("user_id").orderBy(
         F.desc(F.round("sim", 9)), F.asc("neighbor_id")
     )
@@ -209,7 +233,7 @@ def _sql_knn_bucket(t: int) -> str:
     bits = []
     for b in range(KNN_BITS):
         terms = " + ".join(
-            f"c{i}::DOUBLE * ({sql_hash32(repr(f'u{t}p{b}d{i}'))}"
+            f"(c{i}::DOUBLE - m{i}) * ({sql_hash32(repr(f'u{t}p{b}d{i}'))}"
             f" / {float(1 << 31)} - 1.0)"
             for i in range(_NDIM)
         )
@@ -219,40 +243,41 @@ def _sql_knn_bucket(t: int) -> str:
 
 def _sql_user_knn_lsh() -> str:
     tb_selects = "\n  UNION ALL ".join(
-        f"SELECT user_id, {', '.join(f'c{i}' for i in range(_NDIM))},"
-        f" {t} AS tbl, {_sql_knn_bucket(t)} AS bucket FROM m"
+        f"SELECT user_id, {t} AS tbl, {_sql_knn_bucket(t)} AS bucket FROM m2"
         for t in range(KNN_TABLES)
     )
-    qcs = ", ".join(f"c{i} AS qc{i}" for i in range(_NDIM))
-    dot = " + ".join(f"c.qc{i}::DOUBLE * c.c{i}::DOUBLE" for i in range(_NDIM))
-    qnorm = " + ".join(f"c.qc{i} * c.qc{i}" for i in range(_NDIM))
-    tnorm = " + ".join(f"c.c{i} * c.c{i}" for i in range(_NDIM))
+    dot = " + ".join(f"q.c{i}::DOUBLE * n.c{i}::DOUBLE" for i in range(_NDIM))
+    qnorm = " + ".join(f"q.c{i} * q.c{i}" for i in range(_NDIM))
+    tnorm = " + ".join(f"n.c{i} * n.c{i}" for i in range(_NDIM))
+    means = ", ".join(f"avg(c{i}) AS m{i}" for i in range(_NDIM))
     return f"""
 WITH m AS (
   SELECT user_id,
     {_PIVOT}
   FROM events GROUP BY user_id
 ),
+means AS (SELECT {means} FROM m),
+m2 AS (SELECT m.*, means.* FROM m CROSS JOIN means),
 tb AS (
   {tb_selects}
 ),
 probes AS (
-  SELECT user_id AS q_user, {qcs}, tbl,
+  SELECT user_id AS q_user, tbl,
          CASE WHEN f.bit = -1 THEN bucket
               ELSE xor(bucket, (1::BIGINT << f.bit)) END AS bucket
   FROM tb, (SELECT unnest(generate_series(-1, {KNN_BITS - 1})) AS bit) f
 ),
 cand AS (
-  SELECT DISTINCT c.q_user AS user_id, t.user_id AS neighbor_id,
-         {", ".join(f"c.qc{i}" for i in range(_NDIM))},
-         {", ".join(f"t.c{i}" for i in range(_NDIM))}
+  SELECT DISTINCT c.q_user AS user_id, t.user_id AS neighbor_id
   FROM probes c JOIN tb t ON c.tbl = t.tbl AND c.bucket = t.bucket
   WHERE t.user_id <> c.q_user
 ),
 scored AS (
-  SELECT user_id, neighbor_id,
+  SELECT cand.user_id, cand.neighbor_id,
          ({dot}) / (sqrt(({qnorm})::DOUBLE) * sqrt(({tnorm})::DOUBLE)) AS sim
-  FROM cand c
+  FROM cand
+  JOIN m q ON cand.user_id = q.user_id
+  JOIN m n ON cand.neighbor_id = n.user_id
 )
 SELECT user_id, rank, neighbor_id, round(sim, 6) AS sim_r
 FROM (

@@ -193,7 +193,13 @@ def test_user_knn_lsh_recall_and_plan(spark):
     assert recall >= 0.8, f"LSH user-knn recall collapsed: {recall}"
 
     plan = recsys.q_user_knn_lsh(spark, SF)._jdf.queryExecution().toString()
-    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "CartesianProduct" not in plan
+    # the only nested loops allowed are broadcast CROSS joins against the
+    # one-row centering-means frame; the exact path's all-pairs join shows
+    # up as a non-Cross BroadcastNestedLoopJoin and must not appear here
+    n_bnlj = plan.count("BroadcastNestedLoopJoin")
+    n_scalar_cross = plan.count("BroadcastNestedLoopJoin BuildRight, Cross")
+    assert n_bnlj == n_scalar_cross, plan[:2000]
 
 
 def test_purity_confusion_consistent(spark):
