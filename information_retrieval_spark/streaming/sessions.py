@@ -84,6 +84,82 @@ def _fold_sessions(
     ).astype("int64")
 
 
+def _fold_sessions_event_time(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """EventTimeTimeout variant: identical fold, but the open session also
+    closes when the WATERMARK passes its last event + gap — no sentinel
+    needed; this is the production end-of-session signal."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        open_start, last, n_ev, closed = state.get
+        out = []
+        if open_start is not None:
+            closed += 1
+            out.append((user_id, closed, n_ev, open_start, last))
+        state.remove()
+        yield pd.DataFrame(
+            out, columns=[f.name for f in SESSIONS_SCHEMA.fields]
+        ).astype("int64")
+        return
+    if state.exists:
+        open_start, last, n_ev, closed = state.get
+    else:
+        open_start = last = None
+        n_ev = 0
+        closed = 0
+    out = []
+    for pdf in pdfs:
+        ts = sorted(int(v) for v in (pdf["ts"].astype("int64") // 10**9))
+        for t in ts:
+            if open_start is None:
+                open_start, last, n_ev = t, t, 1
+                continue
+            if t - last > SESSION_GAP_S:
+                closed += 1
+                out.append((user_id, closed, n_ev, open_start, last))
+                open_start, last, n_ev = t, t, 1
+            else:
+                last = t
+                n_ev += 1
+    state.update((open_start, last, n_ev, closed))
+    if last is not None:
+        # fire when the event-time watermark passes the gap after the
+        # open session's last event
+        state.setTimeoutTimestamp((last + SESSION_GAP_S + 1) * 1000)
+    yield pd.DataFrame(
+        out, columns=[f.name for f in SESSIONS_SCHEMA.fields]
+    ).astype("int64")
+
+
+def sessionize_stream_event_time(
+    spark: SparkSession,
+    watch_dir: str,
+    files_per_trigger: int | None = 1,
+    watermark: str = "0 seconds",
+):
+    """readStream → watermark → stateful fold with EventTimeTimeout:
+    sessions close either by an arriving event's gap or by the watermark
+    overtaking the open session — the production path (the NoTimeout
+    variant needs an explicit flush signal)."""
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
+    stream = reader.parquet(watch_dir)
+    return (
+        stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fold_sessions_event_time,
+            outputStructType=SESSIONS_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def sessionize_stream(
     spark: SparkSession, watch_dir: str, files_per_trigger: int | None = 1
 ):

@@ -53,3 +53,47 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     }
     assert len(got) == len(want)
     assert got == want
+
+
+def test_event_time_timeout_closes_sessions(spark, tmp_path):
+    """The EventTimeTimeout variant closes sessions when the watermark
+    overtakes them — no flush sentinel. Feeding a far-future second file
+    advances the watermark past every first-period session, so by drain
+    end exactly those sessions have emitted (the far-future events' own
+    sessions stay open)."""
+    from information_retrieval_spark.streaming.sessions import (
+        sessionize_stream_event_time,
+    )
+
+    events = pd.read_parquet(f"{SF}/events.parquet")
+    events["ts"] = pd.to_datetime(events["ts"]).astype("datetime64[us]")
+    events = events.sort_values("ts").reset_index(drop=True)
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    pq.write_table(pa.Table.from_pandas(events), str(watch / "p0.parquet"))
+    far = events.tail(len(events["user_id"].unique())).copy()
+    far["ts"] = events["ts"].max() + pd.Timedelta(seconds=100 * SESSION_GAP_S)
+    far["ts"] = far["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(far), str(watch / "p1.parquet"))
+
+    q = (
+        sessionize_stream_event_time(spark, str(watch))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("et_sessions")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_id, r.n_events, r.start_s, r.end_s)
+        for r in spark.table("et_sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_id, r.n_events, r.start_s, r.end_s)
+        for r in q_sessionize(spark, SF).collect()
+    }
+    # every real (first-period) session is closed by the watermark; the
+    # far-future rows' own open sessions are the only thing missing
+    assert got == want
