@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": textstats.q_quality,
         "langid": textstats.q_langid,
         "fingerprint": textstats.q_fingerprint,
+        "sample": textstats.q_sample,             # S4 (deterministic)
         # --- deduplication -------------------------------------------------
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_sig": dedup.q_minhash_signatures,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": textstats.SQL_QUALITY,
         "langid": textstats.SQL_LANGID,
         "fingerprint": textstats.SQL_FINGERPRINT,
+        "sample": textstats.SQL_SAMPLE,
         "dedup_exact": dedup.SQL_DEDUP_EXACT,
         "minhash_sig": dedup.SQL_MINHASH_SIG,
         "minhash_pairs": dedup.SQL_MINHASH_PAIRS,

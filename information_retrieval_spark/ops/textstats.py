@@ -218,3 +218,38 @@ WITH base AS (
 SELECT doc_id, {sql_hash32("array_to_string(words, '|')")} AS fp
 FROM base
 """
+
+
+# ------------------------------------------------------- deterministic sample
+
+SAMPLE_PCT = 20  # keep ~20% of docs
+SAMPLE_SALT = "s1"
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket_h): deterministic corpus subsample (S4 — the
+    reference's `random.sample(corpus, sample_max_size)` re-expressed as
+    hash-based Bernoulli sampling so it is reproducible, engine-portable,
+    and cluster-stable: keep iff portable_hash32(salt#doc_id) % 100 <
+    SAMPLE_PCT). Pure map over the scan — no shuffle, no RNG state; at
+    100 TB this IS how you sample (per-row hash, any executor layout,
+    same sample every run). Resampling = change the salt."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = portable_hash32(
+        F.concat(F.lit(SAMPLE_SALT), F.lit("#"), F.col("doc_id").cast("string"))
+    )
+    return (
+        d.select("doc_id", (h % 100).cast("int").alias("bucket_h"))
+        .filter(F.col("bucket_h") < SAMPLE_PCT)
+    )
+
+
+SQL_SAMPLE = f"""
+SELECT doc_id, bucket_h FROM (
+  SELECT doc_id,
+         ({sql_hash32(f"'{SAMPLE_SALT}#' || doc_id::VARCHAR")} % 100)::INT
+           AS bucket_h
+  FROM documents
+)
+WHERE bucket_h < {SAMPLE_PCT}
+"""
