@@ -248,7 +248,11 @@ class IndexBuilder:
             def s_doc_meta():
                 _write(
                     corpus.select(
-                        F.col(self.doc_id_col).alias("doc_id"),
+                        # cast to long: WAND buckets category rows with
+                        # xxhash64(doc_id), which hashes 4-byte ints and
+                        # 8-byte longs DIFFERENTLY — an int-typed corpus
+                        # id would silently land in the wrong bucket
+                        F.col(self.doc_id_col).cast("long").alias("doc_id"),
                         F.col(self.category_col).alias("category"),
                     ),
                     self.path("doc_meta"),

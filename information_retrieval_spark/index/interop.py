@@ -56,10 +56,19 @@ def _gamma_bits(positions: list[int]) -> str:
 def _gamma_payload(positions: list[int]) -> bytes:
     bits = _gamma_bits(positions)
     bit_len = len(bits)
-    assert bit_len < 1 << 16, "posting run exceeds the format's 2-byte bit_len"
     pad = "0" * (8 - bit_len % 8)  # full extra byte when already aligned
     total = pad + bits
     n_bytes = len(total) // 8
+    # the binding limit is the 1-byte n_bytes field (≈2,040 gamma bits ≈
+    # a ~600-position dense run), which the REFERENCE format shares — its
+    # own writer would silently overflow here; we fail loudly instead of
+    # emitting a truncated stream
+    if n_bytes > 0xFF:
+        raise ValueError(
+            f"posting run of {len(positions)} positions needs {n_bytes}"
+            " payload bytes; the reference gamma format caps n_bytes at"
+            " 255 — use the variable-byte format for this corpus"
+        )
     body = bytes(int(total[i : i + 8], 2) for i in range(0, len(total), 8))
     return (
         n_bytes.to_bytes(1, "big") + bit_len.to_bytes(2, "big") + body

@@ -57,12 +57,40 @@ class IndexMaintenance:
         import shutil
 
         stage = self._p("__stage_add")
-        if os.path.isdir(stage):
-            shutil.rmtree(stage)  # stale partial stage from a dead run
+        if self.is_staged(stage):
+            # a previous add crashed during commit: FINISH that frozen
+            # stage first (its merged aggregates were computed against the
+            # pre-crash tables — re-staging would double-apply). If the
+            # caller is retrying the SAME delta (matching fingerprint),
+            # the finished commit already applied it exactly once — done.
+            info = self._stage_info(stage)
+            self.commit_add(stage)
+            shutil.rmtree(stage)
+            if info.get("fp") == self._delta_fp(delta):
+                return int(info["n_add"])
+        elif os.path.isdir(stage):
+            shutil.rmtree(stage)  # partial stage: no live effects yet
         n_add = self.stage_add(delta, stage)
         self.commit_add(stage)
         shutil.rmtree(stage)
         return n_add
+
+    def _delta_fp(self, delta: DataFrame) -> str:
+        """Order-insensitive content fingerprint of a delta frame."""
+        cols = sorted(delta.columns)
+        row = delta.select(
+            F.expr(
+                "concat(count(*), ':', coalesce(bit_xor(xxhash64("
+                + ", ".join(cols)
+                + ")), 0))"
+            ).alias("fp")
+        ).collect()[0]
+        return row.fp
+
+    @staticmethod
+    def _stage_info(stage_dir: str) -> dict:
+        with open(os.path.join(stage_dir, "_STAGED")) as f:
+            return json.load(f)
 
     def stage_add(self, delta: DataFrame, stage_dir: str) -> int:
         """Compute EVERY output of an add — delta postings/doclen plus the
@@ -98,8 +126,11 @@ class IndexMaintenance:
 
         cat_col = self.config.get("category_col")
         if cat_col is not None:
+            # long cast: must match the build-time doc_meta type (WAND's
+            # xxhash64 bucketing is type-sensitive)
             delta.select(
-                F.col("doc_id"), F.col(cat_col).alias("category")
+                F.col("doc_id").cast("long").alias("doc_id"),
+                F.col(cat_col).alias("category"),
             ).write.mode("overwrite").parquet(
                 os.path.join(stage_dir, "doc_meta_delta")
             )
@@ -132,7 +163,7 @@ class IndexMaintenance:
         st.to_parquet(os.path.join(stage_dir, "stats.parquet"))
 
         with open(os.path.join(stage_dir, "_STAGED"), "w") as f:
-            f.write(str(n_add))
+            json.dump({"n_add": int(n_add), "fp": self._delta_fp(delta)}, f)
         return n_add
 
     @staticmethod
@@ -227,6 +258,34 @@ class IndexMaintenance:
             if not os.path.exists(live) and os.path.isdir(new):
                 os.replace(new, live)
         dd = F.broadcast(d.select("doc_id").distinct())
+        # the n_docs update is journaled as an ABSOLUTE target before any
+        # table is mutated: a crash-recovery re-run finds the journal and
+        # rewrites the same value, so the stats update is exactly-once no
+        # matter where the previous run died (a relative decrement cannot
+        # be made idempotent across the swap windows). Deleted docs that
+        # never produced a doclen row (all-stop-word content) are a
+        # documented blind spot of the live-doc measurement.
+        import pandas as pd
+
+        journal = self._p("__compact_journal.json")
+        stats_file = os.path.join(self._p("stats"), "stats.parquet")
+        if os.path.exists(journal):
+            with open(journal) as f:
+                n_docs_target = int(json.load(f)["n_docs_target"])
+        else:
+            n_del = (
+                spark.read.parquet(self._p("doclen"))
+                .select("doc_id")
+                .distinct()
+                .join(dd, "doc_id", "semi")
+                .count()
+            )
+            st = pd.read_parquet(stats_file)
+            n_docs_target = int(st["n_docs"].iloc[0]) - n_del
+            tmp = journal + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"n_docs_target": n_docs_target}, f)
+            os.replace(tmp, journal)
         tables = ["postings_flat", "doclen"]
         if os.path.isdir(self._p("doc_meta")):
             tables.append("doc_meta")
@@ -241,12 +300,8 @@ class IndexMaintenance:
         tdf.write.mode("overwrite").parquet(self._p("term_df__new"))
         self._swap("term_df")
 
-        import pandas as pd
-
-        n_del = d.select("doc_id").distinct().count()
-        stats_file = os.path.join(self._p("stats"), "stats.parquet")
         st = pd.read_parquet(stats_file)
-        st["n_docs"] = st["n_docs"] - n_del
+        st["n_docs"] = n_docs_target
         st.to_parquet(stats_file)
 
         from information_retrieval_spark.index.pack import pack_index
@@ -256,3 +311,4 @@ class IndexMaintenance:
         import shutil
 
         shutil.rmtree(self._p("deleted_docs"))
+        os.remove(journal)

@@ -127,13 +127,9 @@ class SearchEngine:
 
     def _spell_map(self, texts: list[str]) -> dict[str, str]:
         """Batch token→correction map via the distributed bigram join."""
-        from information_retrieval_spark.query.spell import correct_words_spark
+        from information_retrieval_spark.query.spell import spell_map_for_texts
 
-        tokens = [t for text in texts for t in text.split()]
-        if not tokens:
-            return {}
-        vocab = self.spark.read.parquet(os.path.join(self.index_dir, "vocab"))
-        return correct_words_spark(vocab, tokens)
+        return spell_map_for_texts(self.spark, self.index_dir, texts)
 
     def _default_weights(self, q: QuerySpec) -> dict[str, float]:
         if q.section_weights:

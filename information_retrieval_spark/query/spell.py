@@ -100,6 +100,18 @@ def apply_corrections(text: str, fix) -> str:
 
 # ------------------------------------------------ distributed (vocab-scale)
 
+def spell_map_for_texts(spark, index_dir: str, texts: list[str]) -> dict[str, str]:
+    """Batch token→correction map for a query batch via the distributed
+    bigram join over the index's vocab table (shared by both engines)."""
+    import os
+
+    tokens = [t for text in texts for t in text.split()]
+    if not tokens:
+        return {}
+    vocab = spark.read.parquet(os.path.join(index_dir, "vocab"))
+    return correct_words_spark(vocab, tokens)
+
+
 def correct_words_spark(
     vocab, words: list[str], similar_words_limit: int = 20
 ) -> dict[str, str]:

@@ -192,11 +192,18 @@ class _MergedList:
 def _wand_query(
     lists: list, k: int, deleted: frozenset = frozenset(), allowed=None
 ) -> list[tuple[int, float]]:
-    """Exact top-k (doc_id, score) under ordering (-score, doc_id);
-    ``deleted`` docs are advanced past without entering the heap.
-    ``allowed`` (optional doc_id → bool) implements the category filter:
-    failing docs are treated exactly like deleted ones."""
-    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap
+    """Exact top-k (doc_id, score) under the FINAL output ordering
+    (-round(score, 9), doc_id); ``deleted`` docs are advanced past without
+    entering the heap. ``allowed`` (optional doc_id → bool) implements the
+    category filter: failing docs are treated exactly like deleted ones.
+
+    The heap is keyed by (round(score, 9), -doc_id) — the exact downstream
+    ordering — so eviction can never discard a doc that out-ranks a kept
+    one at a rounding-boundary near-tie (raw-score eviction had a
+    1e-12..5e-10 collision band). The pivot threshold θ is therefore the
+    ROUNDED k-th score; pruning keeps anything within 1e-9 of it, which
+    covers the 5e-10 rounding half-step with margin."""
+    heap: list[tuple[float, int, float]] = []  # (round9, -doc_id, raw)
     lists = [L for L in lists if not L.exhausted()]
     while True:
         lists = [L for L in lists if not L.exhausted()]
@@ -208,13 +215,13 @@ def _wand_query(
         pivot_idx = None
         for i, L in enumerate(lists):
             acc += L.ub
-            # ≥ θ − ε: a doc scoring EXACTLY θ can still win its tie on
-            # doc_id under the (-score, doc_id) ordering — don't skip it
-            if acc >= theta - 1e-12:
+            # a doc with Σub just below θ can still round equal to the
+            # k-th score and win its doc_id tie — don't skip it
+            if acc >= theta - 1e-9:
                 pivot_idx = i
                 break
         if pivot_idx is None:
-            break  # Σ ub < θ: no remaining doc can enter the top-k
+            break  # Σ ub ≪ θ: no remaining doc can enter the top-k
         pivot = lists[pivot_idx].cur_doc()
         if lists[0].cur_doc() == pivot:
             live = pivot not in deleted and (allowed is None or allowed(pivot))
@@ -227,21 +234,15 @@ def _wand_query(
                 if not L.exhausted() and L.cur_doc() == pivot:
                     L.advance()
             if live:
-                item = (score, -pivot)
+                item = (round(score, 9), -pivot, score)
                 if len(heap) < k:
                     heapq.heappush(heap, item)
-                else:
-                    # mirror the final (-round(score,9), doc_id) ordering at
-                    # the eviction point too: raw scores within ε are ties
-                    # (they round equal downstream) and the LOWER doc_id must
-                    # survive — raw comparison alone could evict it
-                    d = score - heap[0][0]
-                    if d > 1e-12 or (d > -1e-12 and item[1] > heap[0][1]):
-                        heapq.heapreplace(heap, item)
+                elif item[:2] > heap[0][:2]:
+                    heapq.heapreplace(heap, item)
         else:
             # advance the laggard(s) to the pivot, skipping blocks
             lists[0].seek(pivot)
-    return [(-nd, s) for s, nd in heap]
+    return [(-nd, raw) for _, nd, raw in heap]
 
 
 class WandEngine:
@@ -364,15 +365,12 @@ class WandEngine:
         fixes = None
         if self.distributed_spell and any(q.spell for q in queries):
             from information_retrieval_spark.query.spell import (
-                correct_words_spark,
+                spell_map_for_texts,
             )
 
-            vocab = self.spark.read.parquet(
-                os.path.join(self.index_dir, "vocab")
-            )
-            fixes = correct_words_spark(
-                vocab,
-                [t for q in queries if q.spell for t in q.text.split()],
+            fixes = spell_map_for_texts(
+                self.spark, self.index_dir,
+                [q.text for q in queries if q.spell],
             )
         qtoks: dict[int, dict[str, int]] = {}
         for q in queries:

@@ -54,17 +54,15 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _fold_sessions(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (user_id,) = key
+def _load(state: GroupState):
     if state.exists:
-        open_start, last, n_ev, closed = state.get
-    else:
-        open_start = last = None
-        n_ev = 0
-        closed = 0
-    out = []
+        return state.get
+    return None, None, 0, 0
+
+
+def _fold(user_id, pdfs, open_start, last, n_ev, closed, out):
+    """Shared gap fold: consume the batch's events in ts order, appending
+    closed sessions to ``out``; returns the updated state tuple."""
     for pdf in pdfs:
         ts = sorted(int(v) for v in (pdf["ts"].astype("int64") // 10**9))
         for t in ts:
@@ -78,58 +76,63 @@ def _fold_sessions(
             else:
                 last = t
                 n_ev += 1
-    state.update((open_start, last, n_ev, closed))
-    yield pd.DataFrame(
+    return open_start, last, n_ev, closed
+
+
+def _emit(out) -> pd.DataFrame:
+    return pd.DataFrame(
         out, columns=[f.name for f in SESSIONS_SCHEMA.fields]
     ).astype("int64")
+
+
+def _fold_sessions(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    open_start, last, n_ev, closed = _load(state)
+    out = []
+    open_start, last, n_ev, closed = _fold(
+        user_id, pdfs, open_start, last, n_ev, closed, out
+    )
+    state.update((open_start, last, n_ev, closed))
+    yield _emit(out)
 
 
 def _fold_sessions_event_time(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    """EventTimeTimeout variant: identical fold, but the open session also
+    """EventTimeTimeout variant: same fold, but the open session also
     closes when the WATERMARK passes its last event + gap — no sentinel
-    needed; this is the production end-of-session signal."""
+    needed; this is the production end-of-session signal. The state is
+    KEPT (with no open session) after a timeout so a returning user's
+    session numbering continues where it left off, matching the batch
+    twin's running ordinal; the residual state is one tuple per
+    ever-seen user."""
     (user_id,) = key
     if state.hasTimedOut:
-        open_start, last, n_ev, closed = state.get
+        open_start, last, n_ev, closed = _load(state)
         out = []
         if open_start is not None:
             closed += 1
             out.append((user_id, closed, n_ev, open_start, last))
-        state.remove()
-        yield pd.DataFrame(
-            out, columns=[f.name for f in SESSIONS_SCHEMA.fields]
-        ).astype("int64")
+        state.update((None, None, 0, closed))
+        yield _emit(out)
         return
-    if state.exists:
-        open_start, last, n_ev, closed = state.get
-    else:
-        open_start = last = None
-        n_ev = 0
-        closed = 0
+    open_start, last, n_ev, closed = _load(state)
     out = []
-    for pdf in pdfs:
-        ts = sorted(int(v) for v in (pdf["ts"].astype("int64") // 10**9))
-        for t in ts:
-            if open_start is None:
-                open_start, last, n_ev = t, t, 1
-                continue
-            if t - last > SESSION_GAP_S:
-                closed += 1
-                out.append((user_id, closed, n_ev, open_start, last))
-                open_start, last, n_ev = t, t, 1
-            else:
-                last = t
-                n_ev += 1
+    open_start, last, n_ev, closed = _fold(
+        user_id, pdfs, open_start, last, n_ev, closed, out
+    )
     state.update((open_start, last, n_ev, closed))
     if last is not None:
-        # fire when the event-time watermark passes the gap after the
-        # open session's last event
-        state.setTimeoutTimestamp((last + SESSION_GAP_S + 1) * 1000)
-    yield pd.DataFrame(
-        out, columns=[f.name for f in SESSIONS_SCHEMA.fields]
-    ).astype("int64")
+        # fire when the event-time watermark passes the gap after the open
+        # session's last event; clamped above the CURRENT watermark — an
+        # event already older than (watermark − gap) would otherwise set a
+        # timestamp in the past, which Spark rejects and fails the query
+        fire_ms = (last + SESSION_GAP_S + 1) * 1000
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1))
+    yield _emit(out)
 
 
 def sessionize_stream_event_time(

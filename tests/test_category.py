@@ -210,3 +210,29 @@ def test_filter_survives_remove_and_compact(spark, tmp_path_factory):
     maint.compact()
     assert _res(SearchEngine(spark, d), specs) == want
     assert _res(WandEngine(spark, d), specs) == want
+
+
+def test_filter_category_with_int_doc_ids(spark, tmp_path_factory):
+    """An IntegerType doc_id corpus must still category-filter correctly:
+    WAND buckets category rows with xxhash64(doc_id), which hashes 4-byte
+    ints and 8-byte longs differently, so doc_meta is long-cast at build —
+    without the cast the cogrouped lookup silently misses every doc."""
+    from pyspark.sql import functions as F
+
+    rows = corpus_rows(100)
+    d = spark.createDataFrame(
+        [(r.doc_id, r.repo, r.path, r.commit, r.lang, r.content) for r in rows],
+        "doc_id long, repo string, path string, commit string, lang string,"
+        " content string",
+    ).withColumn("doc_id", F.col("doc_id").cast("int"))
+    idx = str(tmp_path_factory.mktemp("intids"))
+    IndexBuilder(
+        spark, idx, SECTIONS, tokenizer="code", stop_k=10, category_col="lang"
+    ).build(d)
+    specs = [QuerySpec(1, "tokenizer stream", "okapi25", 10, spell=False,
+                       match_mode="exact", filter_category=CAT)]
+    want = _res(SearchEngine(spark, idx), specs)
+    assert want.get(1), "filtered query must match docs in the category"
+    assert _res(WandEngine(spark, idx), specs) == want
+    lang_of = {r.doc_id: r.lang for r in rows}
+    assert all(lang_of[doc] == CAT for _, doc, _ in want[1])

@@ -81,3 +81,20 @@ def test_engine_index_round_trips(spark, index_dir, tmp_path, compression):
         for r in spark.read.parquet(f"{index_dir}/postings_flat").collect()
     }
     assert back == want
+
+
+def test_gamma_rejects_over_long_run_cleanly(tmp_path):
+    """The reference gamma format's 1-byte n_bytes field caps a posting
+    run at 255 payload bytes; the writer must fail loudly (the reference's
+    own writer would silently emit a corrupt stream) while variable-byte
+    handles the same run fine."""
+    # dense runs gamma-compress to ~1 bit/posting, so exceeding the 255-
+    # byte cap takes WIDE gaps (~41 bits each at million-sized gaps)
+    sparse = [i * 1_000_000 for i in range(120)]
+    words = [("w", {"1": {"title": sparse, "abstract": []}})]
+    with pytest.raises(ValueError, match="caps n_bytes"):
+        write_reference_index(iter(words), str(tmp_path / "g"), "gamma-code")
+    p = str(tmp_path / "v")
+    write_reference_index(iter(words), p, "variable-byte")
+    got = list(read_reference_index(p, "variable-byte"))
+    assert got[0][1]["1"]["title"] == sparse

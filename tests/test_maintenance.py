@@ -196,3 +196,85 @@ def test_compact_recovers_from_crash_mid_swap(spark, tmp_path_factory):
     assert _results(WandEngine(spark, d)) == _results(
         SearchEngine(spark, fresh)
     )
+
+
+def test_add_documents_retry_same_delta_applies_once(spark, tmp_path_factory):
+    """Crash-retry of add_documents with the SAME delta must not double-
+    apply: the frozen stage's fingerprint identifies the retry, the
+    recovered commit counts as the application."""
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("retryadd"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    delta = _df(spark, rows[120:])
+
+    # simulate a crash mid-commit: full stage + one delta file moved
+    import os as _os
+
+    stage = f"{d}/__stage_add"
+    maint.stage_add(delta, stage)
+    moved = 0
+    for fn in sorted(_os.listdir(f"{stage}/postings_delta")):
+        if fn.endswith(".parquet") and moved < 1:
+            _os.replace(
+                f"{stage}/postings_delta/{fn}", f"{d}/postings_flat/{fn}"
+            )
+            moved += 1
+    assert moved == 1
+
+    # the retry call with the same delta
+    maint.add_documents(delta)
+
+    fresh = str(tmp_path_factory.mktemp("retryfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows))
+    assert (
+        spark.read.parquet(f"{d}/postings_flat").count()
+        == spark.read.parquet(f"{fresh}/postings_flat").count()
+    )
+    assert _results(SearchEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
+
+
+def test_compact_rerun_after_crash_keeps_stats_exact(
+    spark, tmp_path_factory, monkeypatch
+):
+    """compact journals the ABSOLUTE n_docs target before mutating
+    anything: a crash (here: pack_index raising) and re-run must leave
+    n_docs decremented exactly once."""
+    import pandas as pd
+
+    import information_retrieval_spark.index.pack as pack_mod
+
+    rows = corpus_rows(120)
+    removed = sorted(r.doc_id for r in rows[40:60])
+    d = str(tmp_path_factory.mktemp("cstat"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows)
+    )
+    n0 = int(pd.read_parquet(f"{d}/stats/stats.parquet")["n_docs"].iloc[0])
+    maint = IndexMaintenance(spark, d)
+    maint.remove_documents(removed)
+
+    real_pack = pack_mod.pack_index
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during repack")
+
+    monkeypatch.setattr(pack_mod, "pack_index", boom)
+    with pytest.raises(RuntimeError):
+        maint.compact()
+    monkeypatch.setattr(pack_mod, "pack_index", real_pack)
+    maint.compact()  # recovery re-run
+
+    n1 = int(pd.read_parquet(f"{d}/stats/stats.parquet")["n_docs"].iloc[0])
+    assert n1 == n0 - len(removed)
+    import os as _os
+
+    assert not _os.path.exists(f"{d}/deleted_docs")
+    assert not _os.path.exists(f"{d}/__compact_journal.json")

@@ -97,3 +97,50 @@ def test_event_time_timeout_closes_sessions(spark, tmp_path):
     # every real (first-period) session is closed by the watermark; the
     # far-future rows' own open sessions are the only thing missing
     assert got == want
+
+
+def test_returning_user_keeps_session_numbering(spark, tmp_path):
+    """After an EventTimeTimeout closes a user's session, the closed-
+    session counter survives in state: the returning user's next session
+    gets the NEXT ordinal (the batch twin's running numbering), not 1."""
+    from information_retrieval_spark.streaming.sessions import (
+        sessionize_stream_event_time,
+    )
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+
+    def mk(path, ts_list):
+        df = pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "ts": pd.Series(ts_list).astype("datetime64[us]"),
+                "user_id": 1,
+                "event_type": "view",
+                "value": 0.0,
+                "props": "{}",
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df), path)
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    gap = pd.Timedelta(seconds=SESSION_GAP_S)
+    mk(str(watch / "p0.parquet"), [base, base + pd.Timedelta(seconds=60)])
+    mk(str(watch / "p1.parquet"), [base + 10 * gap])   # closes session 1
+    mk(str(watch / "p2.parquet"), [base + 20 * gap])   # closes session 2
+
+    q = (
+        sessionize_stream_event_time(spark, str(watch))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ret_sessions")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.session_id, r.n_events)
+        for r in spark.table("ret_sessions").collect()
+    )
+    assert got == [(1, 2), (2, 1)]
