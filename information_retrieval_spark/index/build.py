@@ -137,6 +137,40 @@ def _write(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> None
     df.write.mode("overwrite").parquet(path)
 
 
+#: per-partition content-hash expressions for the lineage table. packed is
+#: metadata-only: the block payloads are a pure function of postings_flat
+#: (hashed here), so hashing the binary columns would re-read megabytes per
+#: partition for no added lineage coverage.
+LINEAGE_SPECS = {
+    "postings_flat": "xxhash64(term, section, doc_id, tf)",
+    "doclen": "xxhash64(doc_id, section, dl)",
+    "packed": "xxhash64(term, section, bucket, block_id, n,"
+    " first_doc, last_doc)",
+}
+
+
+def lineage_frame(tables: dict[str, DataFrame]) -> DataFrame:
+    """(table, part_id, rows, content_hash) per partition of each table —
+    shared by the full build and incremental-add commits."""
+    parts = []
+    for table, t in tables.items():
+        h = LINEAGE_SPECS[table]
+        parts.append(
+            t.withColumn("part_id", F.spark_partition_id())
+            .groupBy("part_id")
+            .agg(
+                F.count("*").alias("rows"),
+                F.expr(f"bit_xor({h})").alias("content_hash"),
+            )
+            .select(F.lit(table).alias("table"), "part_id", "rows",
+                    "content_hash")
+        )
+    lin = parts[0]
+    for x in parts[1:]:
+        lin = lin.unionByName(x)
+    return lin
+
+
 class IndexBuilder:
     """Builds all index tables under ``index_dir`` with manifest + resume."""
 
@@ -401,38 +435,34 @@ class IndexBuilder:
         # stage 9: lineage/metrics — per-partition accounting of every core
         # table (north_rule: per-partition lineage + metrics). Each row:
         # (table, part_id, rows, content_hash); stage wall-times live in
-        # manifest.json.
+        # manifest.json. Incremental commits append their delta's lineage
+        # rows in their own data dir (maintenance.stage_add), so the table
+        # is an append-only per-commit log.
         def s_lineage():
-            parts = []
-            specs = {
-                "postings_flat": "xxhash64(term, section, doc_id, tf)",
-                "doclen": "xxhash64(doc_id, section, dl)",
-                # metadata-only hash: the block payloads are a pure function
-                # of postings_flat (hashed above); hashing the binary
-                # columns would re-read megabytes per partition for no
-                # added lineage coverage
-                "packed": "xxhash64(term, section, bucket, block_id, n,"
-                " first_doc, last_doc)",
-            }
-            for table, h in specs.items():
-                t = self.spark.read.parquet(self.path(table))
-                parts.append(
-                    t.withColumn("part_id", F.spark_partition_id())
-                    .groupBy("part_id")
-                    .agg(
-                        F.count("*").alias("rows"),
-                        F.expr(f"bit_xor({h})").alias("content_hash"),
-                    )
-                    .select(F.lit(table).alias("table"), "part_id", "rows",
-                            "content_hash")
-                )
-            lin = parts[0]
-            for x in parts[1:]:
-                lin = lin.unionByName(x)
+            lin = lineage_frame(
+                {
+                    t: self.spark.read.parquet(self.path(t))
+                    for t in LINEAGE_SPECS
+                }
+            )
             _write(lin, self.path("lineage"))
             return {}
 
         stage("lineage", s_lineage)
+
+        # stage 10: snapshot v1 — register every table in the catalog
+        # (index/catalog.py): subsequent maintenance commits are atomic
+        # snapshot swaps, and queries can time-travel back to this build
+        def s_catalog():
+            from information_retrieval_spark.index.catalog import (
+                CORE_TABLES,
+                Catalog,
+            )
+
+            Catalog(self.index_dir).ensure(CORE_TABLES)
+            return {}
+
+        stage("catalog", s_catalog)
 
         self._commit_stage(
             "ALL", {"wall_s": round(time.time() - t0, 3)}
@@ -449,7 +479,9 @@ class IndexBuilder:
 def index_content_hash(spark: SparkSession, index_dir: str) -> int:
     """Order-insensitive content hash of the flat postings (rebuild
     determinism + resume equivalence checks, FIXTURES.md §6.5)."""
-    df = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+    from information_retrieval_spark.index.catalog import read_table
+
+    df = read_table(spark, index_dir, "postings_flat")
     row = df.select(
         F.expr(
             "bit_xor(xxhash64(term, section, doc_id, tf, hash(positions)))"

@@ -1,0 +1,323 @@
+"""Snapshot catalog: an Iceberg-style metadata layer over the index tables.
+
+The round-1 maintenance design mutated tables with rmtree-then-rename swaps
+and documented its non-atomic windows ("a production deployment puts a
+transactional table format under these swaps"). This module IS that layer,
+re-expressed minimally for a filesystem: the same snapshot/manifest/commit
+design Iceberg uses (snapshot = immutable metadata listing the data files of
+every table; commit = atomic pointer swap; readers pin a snapshot), without
+the external runtime the sandbox cannot install.
+
+Layout under ``<index_dir>``::
+
+    catalog/v{N}.json   immutable snapshot metadata (never rewritten)
+    catalog/CURRENT     text file holding N; writers swap it atomically
+    data/<table>-<tok>/ immutable data directories committed by mutations
+
+Snapshot metadata::
+
+    {"version": N, "parent": N-1, "operation": "build|add|remove|compact",
+     "summary": {...},               # stage token, stream batch id, ...
+     "tables": {"postings_flat": ["postings_flat", "data/postings_flat-a1"],
+                "packed": ["packed", "data/packed-a1"], ...}}
+
+A table's value is an ORDERED list of directories (paths relative to the
+index root). Appending a directory is how incremental adds commit — for
+``packed`` the list order is the LSM segment order (index/maintenance.py);
+for row tables it is a plain multi-directory scan. ``spark.read.parquet``
+takes the whole list, so a snapshot read is one scan with full predicate
+pushdown regardless of how many commits produced it.
+
+Guarantees (single concurrent writer, any number of readers):
+
+* **Atomicity** — a commit is one ``os.replace`` of CURRENT; every earlier
+  step only creates new files. A crash anywhere before the swap leaves the
+  previous snapshot fully intact and every query path untouched.
+* **Isolation** — readers that resolved their table lists keep reading the
+  directories of their snapshot; commits never modify or delete a directory
+  a live snapshot references (GC is explicit, `expire`).
+* **Time travel** — every resolver takes ``version=``; old snapshots stay
+  queryable until expired.
+* **Writer fencing** — the snapshot file is created with O_EXCL; two racing
+  writers cannot both commit the same version (the loser gets EEXIST and
+  must retry on the new current).
+
+Legacy interop: an index built before this layer (plain ``<index_dir>/<t>``
+directories, no ``catalog/``) resolves through the legacy fallback in
+`table_dirs`; the first mutation bootstraps v1 referencing those directories
+in place (`Catalog.ensure`).
+
+Reference analogue: the reference persists its whole index as one pickle
+blob swapped wholesale (`ui/backend/mir/util/pickle_cache.py:8-33`) — the
+atomic-replace idea at driver scale; this is its multi-table, multi-file,
+cluster-scale form.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+CATALOG_SUBDIR = "catalog"
+DATA_SUBDIR = "data"
+CURRENT = "CURRENT"
+
+
+class Catalog:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        self.cat_dir = os.path.join(index_dir, CATALOG_SUBDIR)
+
+    # ----------------------------------------------------------- inspection
+
+    @staticmethod
+    def exists(index_dir: str) -> bool:
+        return os.path.exists(
+            os.path.join(index_dir, CATALOG_SUBDIR, CURRENT)
+        )
+
+    def current_version(self) -> int | None:
+        p = os.path.join(self.cat_dir, CURRENT)
+        if not os.path.exists(p):
+            return None
+        with open(p) as f:
+            return int(f.read().strip())
+
+    def load(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"no catalog under {self.index_dir}")
+        with open(os.path.join(self.cat_dir, f"v{v}.json")) as f:
+            return json.load(f)
+
+    def versions(self) -> list[int]:
+        if not os.path.isdir(self.cat_dir):
+            return []
+        out = []
+        for fn in os.listdir(self.cat_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
+
+    def table_dirs(self, table: str, version: int | None = None) -> list[str]:
+        """Absolute data directories of ``table`` in a snapshot ([] if the
+        snapshot has no such table)."""
+        snap = self.load(version)
+        return [
+            os.path.join(self.index_dir, d)
+            for d in snap["tables"].get(table, [])
+        ]
+
+    def history(self) -> list[dict]:
+        """Snapshot chain, oldest first (operation/summary per version)."""
+        return [self.load(v) for v in self.versions()]
+
+    # ------------------------------------------------------------- writing
+
+    def new_data_dir(self, table: str, token: str | None = None) -> str:
+        """Reserve a fresh RELATIVE data-directory name for ``table``.
+        Deterministic when ``token`` is given — crash-retried commits must
+        re-derive the same destination names from their stage token."""
+        tok = token if token is not None else uuid.uuid4().hex[:12]
+        os.makedirs(os.path.join(self.index_dir, DATA_SUBDIR), exist_ok=True)
+        return os.path.join(DATA_SUBDIR, f"{table}-{tok}")
+
+    def abspath(self, rel: str) -> str:
+        return os.path.join(self.index_dir, rel)
+
+    def commit(
+        self,
+        changes: dict[str, tuple[str, list[str] | None]],
+        operation: str,
+        summary: dict | None = None,
+    ) -> int:
+        """Apply ``changes`` to the current snapshot's table lists and swap
+        CURRENT. ``changes`` maps table → ("set", [reldirs]) |
+        ("append", [reldirs]) | ("drop", None). Returns the new version."""
+        cur = self.current_version()
+        tables: dict[str, list[str]] = (
+            {} if cur is None else dict(self.load(cur)["tables"])
+        )
+        for table, (op, dirs) in changes.items():
+            if op == "set":
+                tables[table] = list(dirs or [])
+            elif op == "append":
+                tables[table] = tables.get(table, []) + list(dirs or [])
+            elif op == "drop":
+                tables.pop(table, None)
+            else:
+                raise ValueError(f"unknown table op {op!r}")
+        new_v = 1 if cur is None else cur + 1
+        snap = {
+            "version": new_v,
+            "parent": cur,
+            "operation": operation,
+            "summary": summary or {},
+            "tables": tables,
+        }
+        os.makedirs(self.cat_dir, exist_ok=True)
+        # O_EXCL fences concurrent writers: the second committer of the same
+        # parent fails here instead of silently clobbering
+        fd = os.open(
+            os.path.join(self.cat_dir, f"v{new_v}.json"),
+            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
+        )
+        with os.fdopen(fd, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+        tmp = os.path.join(self.cat_dir, CURRENT + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(new_v))
+        os.replace(tmp, os.path.join(self.cat_dir, CURRENT))
+        return new_v
+
+    def committed_token(self, token: str) -> bool:
+        """True if ANY snapshot carries ``stage_token == token`` — the
+        idempotence check for crash-retried staged commits."""
+        return any(
+            s.get("summary", {}).get("stage_token") == token
+            for s in self.history()
+        )
+
+    def ensure(self, legacy_tables: list[str]) -> None:
+        """Bootstrap v1 from a legacy plain-directory index: reference the
+        existing table directories in place (no data movement)."""
+        if self.current_version() is not None:
+            return
+        tables = {
+            t: [t]
+            for t in legacy_tables
+            if os.path.isdir(os.path.join(self.index_dir, t))
+        }
+        self.commit(
+            {t: ("set", dirs) for t, dirs in tables.items()},
+            "bootstrap",
+        )
+
+    # ------------------------------------------------------------------ GC
+
+    def expire(self, keep_last: int = 2) -> list[str]:
+        """Drop all but the last ``keep_last`` snapshots and delete data
+        directories no kept snapshot references. Legacy in-place table dirs
+        (not under ``data/``) are also eligible once unreferenced — e.g.
+        the original ``packed`` after a compact rewrote it. Returns the
+        deleted paths."""
+        vs = self.versions()
+        if len(vs) <= keep_last:
+            return []
+        drop, keep = vs[:-keep_last], vs[-keep_last:]
+        kept_dirs = set()
+        for v in keep:
+            for dirs in self.load(v)["tables"].values():
+                kept_dirs.update(dirs)
+        dead: list[str] = []
+        for v in drop:
+            for dirs in self.load(v)["tables"].values():
+                for d in dirs:
+                    if d not in kept_dirs and d not in dead:
+                        dead.append(d)
+        for d in dead:
+            shutil.rmtree(os.path.join(self.index_dir, d), ignore_errors=True)
+        for v in drop:
+            os.remove(os.path.join(self.cat_dir, f"v{v}.json"))
+        return dead
+
+    def sweep_orphans(self) -> list[str]:
+        """Delete ``data/`` dirs referenced by NO snapshot — the debris of
+        crashed operations (their dirs were moved/written but the commit
+        never happened). Only safe when no mutation is in flight
+        (single-writer assumption makes that the caller's schedule)."""
+        data_root = os.path.join(self.index_dir, DATA_SUBDIR)
+        if not os.path.isdir(data_root):
+            return []
+        referenced = set()
+        for v in self.versions():
+            for dirs in self.load(v)["tables"].values():
+                referenced.update(dirs)
+        dead = []
+        for fn in sorted(os.listdir(data_root)):
+            rel = os.path.join(DATA_SUBDIR, fn)
+            if rel not in referenced:
+                shutil.rmtree(os.path.join(data_root, fn), ignore_errors=True)
+                dead.append(rel)
+        return dead
+
+
+# ---------------------------------------------------------------- resolvers
+
+#: every table the engines read; builder snapshots exactly these
+CORE_TABLES = [
+    "stats",
+    "stopwords",
+    "postings_flat",
+    "doclen",
+    "term_df",
+    "vocab",
+    "doc_meta",
+    "packed",
+    "lineage",
+    "deleted_docs",
+]
+
+
+def table_dirs(
+    index_dir: str, table: str, version: int | None = None
+) -> list[str]:
+    """Resolve a table to its data directories: through the snapshot
+    catalog when one exists, else the legacy ``<index_dir>/<table>``
+    directory. [] when the table is absent either way."""
+    if Catalog.exists(index_dir):
+        return Catalog(index_dir).table_dirs(table, version)
+    legacy = os.path.join(index_dir, table)
+    return [legacy] if os.path.isdir(legacy) else []
+
+
+def read_table(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """One scan over all of a table's committed directories (None when the
+    table is absent). Multi-directory reads keep predicate pushdown and
+    partition pruning — the file list is metadata, not a plan barrier."""
+    dirs = table_dirs(index_dir, table, version)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def read_packed(
+    spark: SparkSession, index_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """The packed block-max table with its LSM ``segment`` column: directory
+    list order IS segment order (0 = the oldest/base segment). Each segment
+    keeps its own sorted, non-overlapping block runs; WAND merges segment
+    cursors per (term, section) at query time (query/wand.py)."""
+    dirs = table_dirs(index_dir, "packed", version)
+    if not dirs:
+        return None
+    parts = [
+        spark.read.parquet(d).withColumn(
+            "segment", F.lit(i).cast("int")
+        )
+        for i, d in enumerate(dirs)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_stats_pdf(index_dir: str, version: int | None = None):
+    """The one-row stats table as a pandas frame (driver-side scalar)."""
+    import pandas as pd
+
+    dirs = table_dirs(index_dir, "stats", version)
+    if not dirs:
+        raise FileNotFoundError(f"no stats table under {index_dir}")
+    frames = [pd.read_parquet(d) for d in dirs]
+    return frames[0] if len(frames) == 1 else pd.concat(frames)

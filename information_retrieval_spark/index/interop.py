@@ -193,7 +193,9 @@ def export_index(
     format hardcodes them). Words sorted lexicographically, docs by
     numeric id; one term group on the driver at a time.
     """
-    p = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+    from information_retrieval_spark.index.catalog import read_table
+
+    p = read_table(spark, index_dir, "postings_flat")
     secs = {r.section for r in p.select("section").distinct().collect()}
     if not secs <= set(SECTIONS):
         raise ValueError(

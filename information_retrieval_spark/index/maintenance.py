@@ -1,35 +1,68 @@
-"""Dynamic index maintenance: add / remove documents without a full rebuild.
+"""Dynamic index maintenance: add / remove / compact over snapshot commits.
 
 Reference analogue: `add_document` / `remove_document`
 (`ir-phase-1.ipynb:c22-23`, trie insert/delete `trie/phase1.py:38-42`) —
-re-expressed for an immutable-files world (SURVEY.md §2.10 Spark mapping):
+re-expressed for an immutable-files world (SURVEY.md §2.10 Spark mapping)
+on top of the Iceberg-style snapshot catalog (index/catalog.py):
 
-* **add_documents(delta)** — tokenize ONLY the new docs with the same
-  pipeline, append their postings/doclen partitions, and re-derive the
-  merged term_df / stats tables incrementally (old aggregate + delta
-  aggregate — no rescan of the existing corpus).
-* **remove_documents(doc_ids)** — logical delete: append to a
-  ``deleted_docs`` side table consulted at query time (delete-vector
-  pattern; Iceberg's equality-delete equivalent). ``compact()`` rewrites
-  postings physically and clears the vector.
+* **add_documents(delta)** — LSM-style: tokenize ONLY the new docs, pack
+  their postings into a NEW compressed segment, and commit one snapshot
+  that appends the delta dirs (postings/doclen/doc_meta/packed/lineage)
+  and replaces the merged aggregates (term_df/vocab/stats). Cost ∝ delta,
+  NOT index size — the round-1 design repacked the whole index per add,
+  which at 10^12 files is a full index rewrite per delta. WAND merges
+  segment cursors at query time (query/wand.py `_SegmentedList`).
+* **remove_documents(doc_ids)** — logical delete: commit a delta dir to
+  the ``deleted_docs`` table (delete-vector pattern; Iceberg's
+  equality-delete equivalent), consulted at query time.
+* **compact()** — the ONE physical rewrite: drops deleted docs, merges all
+  LSM segments back into a single packed segment, refreshes aggregates,
+  clears the delete vector — all visible atomically via one snapshot.
 
-Query-time integration: ``SearchEngine``/``WandEngine`` subtract deleted
-docs via an anti-join (and the per-query candidate stats recompute from the
-filtered set, so the BM25 quirks stay exact after deletes).
+Crash safety comes from the catalog, not from journals: every step of a
+mutation only creates new files; visibility is a single atomic CURRENT
+swap. A crash mid-operation leaves the previous snapshot fully intact and
+queryable; orphaned data dirs are garbage, collected by
+``Catalog.expire``. Staged adds carry a token so a crash-retry of the same
+commit applies exactly once (``Catalog.committed_token``). Old snapshots
+remain queryable (engines take ``version=``) until expired.
 
-Scale notes: adds touch only delta-sized data plus aggregate-sized tables;
-deletes are O(1) appends; compaction is the only full rewrite and is
-explicit — the exact economics of log-structured index maintenance.
+Single-writer assumption (as before); the catalog's O_EXCL snapshot file
+fences a second concurrent writer into an explicit failure.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from information_retrieval_spark.index.build import tokenize_corpus
+from information_retrieval_spark.index.build import (
+    LINEAGE_SPECS,
+    lineage_frame,
+    tokenize_corpus,
+)
+from information_retrieval_spark.index.catalog import (
+    Catalog,
+    CORE_TABLES,
+    read_stats_pdf,
+    read_table,
+)
+
+#: stage subdir → (live table, commit op). Order matters only for humans.
+_STAGE_TABLES = [
+    ("postings_delta", "postings_flat", "append"),
+    ("doclen_delta", "doclen", "append"),
+    ("doc_meta_delta", "doc_meta", "append"),
+    ("packed_delta", "packed", "append"),
+    ("lineage_delta", "lineage", "append"),
+    ("term_df", "term_df", "set"),
+    ("vocab", "vocab", "set"),
+    ("stats", "stats", "set"),
+]
 
 
 class IndexMaintenance:
@@ -38,31 +71,25 @@ class IndexMaintenance:
         self.index_dir = index_dir
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.config = json.load(f)["config"]
-
-    def _p(self, t: str) -> str:
-        return os.path.join(self.index_dir, t)
+        self.cat = Catalog(index_dir)
+        # legacy (pre-catalog) index: register its tables as v1 in place
+        self.cat.ensure(CORE_TABLES)
 
     # ------------------------------------------------------------------ add
 
-    def add_documents(self, delta: DataFrame) -> int:
-        """Append postings/doclen for new docs; incrementally merge term_df
-        and stats. New doc_ids must not collide with existing ones (caller
-        contract, as in the reference's add_document).
+    def add_documents(self, delta: DataFrame, batch_id: int | None = None) -> int:
+        """Append a delta corpus as a new LSM segment; one atomic snapshot.
+        New doc_ids must not collide with existing ones (caller contract,
+        as in the reference's add_document). ``batch_id`` tags the commit
+        for streaming exactly-once (streaming/ingest.py).
 
-        Implemented as stage → commit (``stage_add`` + ``commit_add``) so a
-        crash mid-apply never leaves the live tables merged twice: all
-        derived outputs land in a staging directory first, and the commit
-        step is redoable (streaming replays resume it, see
-        ``streaming/ingest.py``)."""
-        import shutil
-
-        stage = self._p("__stage_add")
+        Crash recovery: a frozen stage (``_STAGED`` marker present) from a
+        previous crashed call is committed FIRST — its merged aggregates
+        were computed against the pre-crash snapshot, so re-staging would
+        double-apply. If the caller is retrying the SAME delta (matching
+        fingerprint), that recovered commit already applied it."""
+        stage = os.path.join(self.index_dir, "__stage_add")
         if self.is_staged(stage):
-            # a previous add crashed during commit: FINISH that frozen
-            # stage first (its merged aggregates were computed against the
-            # pre-crash tables — re-staging would double-apply). If the
-            # caller is retrying the SAME delta (matching fingerprint),
-            # the finished commit already applied it exactly once — done.
             info = self._stage_info(stage)
             self.commit_add(stage)
             shutil.rmtree(stage)
@@ -71,7 +98,7 @@ class IndexMaintenance:
         elif os.path.isdir(stage):
             shutil.rmtree(stage)  # partial stage: no live effects yet
         n_add = self.stage_add(delta, stage)
-        self.commit_add(stage)
+        self.commit_add(stage, batch_id=batch_id)
         shutil.rmtree(stage)
         return n_add
 
@@ -92,11 +119,16 @@ class IndexMaintenance:
         with open(os.path.join(stage_dir, "_STAGED")) as f:
             return json.load(f)
 
+    @staticmethod
+    def is_staged(stage_dir: str) -> bool:
+        return os.path.exists(os.path.join(stage_dir, "_STAGED"))
+
     def stage_add(self, delta: DataFrame, stage_dir: str) -> int:
-        """Compute EVERY output of an add — delta postings/doclen plus the
-        fully merged term_df/vocab/stats — into ``stage_dir`` without
-        touching a live table. Finishes by writing a ``_STAGED`` marker;
-        a stage without the marker is partial and must be discarded."""
+        """Compute EVERY output of an add — the delta's postings, doclen
+        and packed segment, plus the fully merged term_df/vocab/stats —
+        into ``stage_dir`` without touching any live table. Finishes by
+        writing a ``_STAGED`` marker (with the commit token); a stage
+        without the marker is partial and must be discarded."""
         spark = self.spark
         sections = self.config["sections"]
         tokenizer = self.config["tokenizer"]
@@ -104,7 +136,7 @@ class IndexMaintenance:
         os.makedirs(stage_dir, exist_ok=True)
 
         tokens = tokenize_corpus(delta, sections, tokenizer)
-        stop = spark.read.parquet(self._p("stopwords")).select("term")
+        stop = read_table(spark, self.index_dir, "stopwords").select("term")
         ns = tokens.join(F.broadcast(stop), "term", "left_anti")
 
         tf = (
@@ -121,8 +153,11 @@ class IndexMaintenance:
         )
         tf = spark.read.parquet(os.path.join(stage_dir, "postings_delta"))
 
-        dl = ns.groupBy("doc_id", "section").agg(F.count("*").alias("dl"))
+        dl = ns.groupBy("doc_id", "section").agg(
+            F.count("*").cast("long").alias("dl")
+        )
         dl.write.mode("overwrite").parquet(os.path.join(stage_dir, "doclen_delta"))
+        dl = spark.read.parquet(os.path.join(stage_dir, "doclen_delta"))
 
         cat_col = self.config.get("category_col")
         if cat_col is not None:
@@ -135,10 +170,29 @@ class IndexMaintenance:
                 os.path.join(stage_dir, "doc_meta_delta")
             )
 
+        # the delta's OWN packed segment — pack cost ∝ delta size; the live
+        # packed segments are untouched (LSM append, merged at compact)
+        from information_retrieval_spark.index.pack import pack_postings
+
+        pack_postings(tf, dl, os.path.join(stage_dir, "packed_delta"))
+
+        # per-partition lineage of the delta's tables (append-only log)
+        lineage_frame(
+            {
+                "postings_flat": tf,
+                "doclen": dl,
+                "packed": spark.read.parquet(
+                    os.path.join(stage_dir, "packed_delta")
+                ),
+            }
+        ).write.mode("overwrite").parquet(
+            os.path.join(stage_dir, "lineage_delta")
+        )
+
         # incremental term_df: old ∪ delta, summed (delta docs are new, so
         # df contributions add)
         delta_df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-        old_df = spark.read.parquet(self._p("term_df"))
+        old_df = read_table(spark, self.index_dir, "term_df")
         merged = (
             old_df.unionByName(delta_df)
             .groupBy("term")
@@ -148,167 +202,173 @@ class IndexMaintenance:
 
         # vocab: distinct union
         vocab = (
-            spark.read.parquet(self._p("vocab"))
+            read_table(spark, self.index_dir, "vocab")
             .unionByName(tokens.select("term").distinct())
             .distinct()
         )
         vocab.write.mode("overwrite").parquet(os.path.join(stage_dir, "vocab"))
 
         # stats: n_docs += delta count
-        import pandas as pd
-
         n_add = delta.count()
-        st = pd.read_parquet(os.path.join(self._p("stats"), "stats.parquet"))
+        st = read_stats_pdf(self.index_dir)
+        st = st.copy()
         st["n_docs"] = st["n_docs"] + n_add
-        st.to_parquet(os.path.join(stage_dir, "stats.parquet"))
+        os.makedirs(os.path.join(stage_dir, "stats"), exist_ok=True)
+        st.to_parquet(os.path.join(stage_dir, "stats", "stats.parquet"))
 
         with open(os.path.join(stage_dir, "_STAGED"), "w") as f:
-            json.dump({"n_add": int(n_add), "fp": self._delta_fp(delta)}, f)
+            json.dump(
+                {
+                    "n_add": int(n_add),
+                    "fp": self._delta_fp(delta),
+                    "token": uuid.uuid4().hex[:12],
+                },
+                f,
+            )
         return n_add
 
-    @staticmethod
-    def is_staged(stage_dir: str) -> bool:
-        return os.path.exists(os.path.join(stage_dir, "_STAGED"))
-
-    def commit_add(self, stage_dir: str) -> None:
-        """Fold a completed stage into the live index. Every step is
-        redoable: delta files move skip-if-already-moved (Spark part names
-        are unique), table swaps skip when the staged source is gone
-        (already swapped), and the repack is deterministic from the live
-        postings — so an interrupted commit re-run from the SAME frozen
-        stage converges to the same index. Single-writer assumption: a
-        reader racing the swap can observe a table mid-replace; a
-        production deployment puts a transactional table format under
-        these swaps."""
-        import shutil
-
+    def commit_add(self, stage_dir: str, batch_id: int | None = None) -> None:
+        """Publish a completed stage: move its subdirs to immutable data
+        dirs (names derived from the stage token, so a crash-retry
+        re-derives the same destinations and the moves no-op), then ONE
+        snapshot commit makes everything visible atomically. A retry after
+        the snapshot landed is detected by the token and skipped."""
         assert self.is_staged(stage_dir), "refusing to commit a partial stage"
-        deltas = [
-            ("postings_flat", "postings_delta"),
-            ("doclen", "doclen_delta"),
-        ]
-        if os.path.isdir(os.path.join(stage_dir, "doc_meta_delta")):
-            deltas.append(("doc_meta", "doc_meta_delta"))
-        for tbl, sub in deltas:
-            sdir = os.path.join(stage_dir, sub)
-            for fn in sorted(os.listdir(sdir)):
-                if not fn.endswith(".parquet"):
-                    continue
-                src = os.path.join(sdir, fn)
-                dst = os.path.join(self._p(tbl), fn)
-                if os.path.exists(src):
-                    os.replace(src, dst)
-        for tbl in ("term_df", "vocab"):
-            src = os.path.join(stage_dir, tbl)
+        info = self._stage_info(stage_dir)
+        token = info["token"]
+        if self.cat.committed_token(token):
+            return  # crash happened after the snapshot: already applied
+        changes: dict = {}
+        for sub, table, op in _STAGE_TABLES:
+            src = os.path.join(stage_dir, sub)
+            rel = self.cat.new_data_dir(table, token)
+            dst = self.cat.abspath(rel)
             if os.path.isdir(src):
-                live = self._p(tbl)
-                if os.path.isdir(live):
-                    shutil.rmtree(live)
-                os.replace(src, live)
-        sstats = os.path.join(stage_dir, "stats.parquet")
-        if os.path.exists(sstats):
-            os.replace(sstats, os.path.join(self._p("stats"), "stats.parquet"))
-
-        # repack from the appended flat postings: WAND's cursors require one
-        # sorted, non-overlapping block run per (term, section, bucket), so
-        # appended generations must merge. Repack cost ∝ index size (not
-        # corpus size) and skips the expensive stage — re-tokenization.
-        from information_retrieval_spark.index.pack import pack_index
-
-        pack_index(self.spark, self.index_dir)
-
-    def _swap(self, table: str) -> None:
-        """rmtree-then-rename swap. Not atomic: a crash between the two
-        steps leaves the table absent with ``<table>__new`` complete —
-        re-running the operation (compact is idempotent over the same
-        delete vector, which is only cleared at the very end) recovers;
-        ``ignore_errors`` makes that re-run possible."""
-        import shutil
-
-        old, new = self._p(table), self._p(table + "__new")
-        shutil.rmtree(old, ignore_errors=True)
-        os.replace(new, old)
+                os.replace(src, dst)
+            elif not os.path.isdir(dst):
+                continue  # table not produced by this stage (e.g. doc_meta)
+            changes[table] = (op, [rel])
+        summary = {"stage_token": token, "n_add": info["n_add"]}
+        if batch_id is not None:
+            summary["stream_batch_id"] = int(batch_id)
+        self.cat.commit(
+            {t: (op, dirs) for t, (op, dirs) in changes.items()},
+            "add",
+            summary,
+        )
 
     # --------------------------------------------------------------- remove
 
     def remove_documents(self, doc_ids: list[int]) -> None:
-        """Logical delete via the ``deleted_docs`` delete-vector table."""
-        df = self.spark.createDataFrame(
+        """Logical delete: commit a delta dir to the ``deleted_docs``
+        delete-vector table (one snapshot; crash before the commit leaves
+        only an orphaned dir)."""
+        rel = self.cat.new_data_dir("deleted_docs")
+        self.spark.createDataFrame(
             [(int(d),) for d in doc_ids], "doc_id long"
+        ).write.mode("overwrite").parquet(self.cat.abspath(rel))
+        self.cat.commit(
+            {"deleted_docs": ("append", [rel])},
+            "remove",
+            {"n_remove": len(doc_ids)},
         )
-        df.write.mode("append").parquet(self._p("deleted_docs"))
 
     def deleted(self) -> DataFrame | None:
-        p = self._p("deleted_docs")
-        if not os.path.exists(p):
-            return None
-        return self.spark.read.parquet(p)
+        return read_table(self.spark, self.index_dir, "deleted_docs")
+
+    # -------------------------------------------------------------- compact
 
     def compact(self) -> None:
-        """Physically drop deleted docs from postings/doclen/packed and
-        rebuild the aggregate tables they feed; clears the delete vector."""
-        d = self.deleted()
-        if d is None:
-            return
-        spark = self.spark
-        # finish any swap a previous compact crashed in the middle of
-        # (table rmtree'd, complete __new still pending its rename)
-        for table in ("postings_flat", "doclen", "doc_meta", "term_df"):
-            live, new = self._p(table), self._p(table + "__new")
-            if not os.path.exists(live) and os.path.isdir(new):
-                os.replace(new, live)
-        dd = F.broadcast(d.select("doc_id").distinct())
-        # the n_docs update is journaled as an ABSOLUTE target before any
-        # table is mutated: a crash-recovery re-run finds the journal and
-        # rewrites the same value, so the stats update is exactly-once no
-        # matter where the previous run died (a relative decrement cannot
-        # be made idempotent across the swap windows). Deleted docs that
-        # never produced a doclen row (all-stop-word content) are a
-        # documented blind spot of the live-doc measurement.
-        import pandas as pd
+        """Physically drop deleted docs AND merge all LSM segments into
+        one: rewrite postings/doclen/doc_meta/packed, re-derive
+        term_df/stats/lineage, clear the delete vector — all new dirs,
+        published by a single snapshot commit. A crash anywhere leaves the
+        previous snapshot intact; the re-run recomputes from it and
+        converges (orphaned dirs are GC'd by ``expire``).
 
-        journal = self._p("__compact_journal.json")
-        stats_file = os.path.join(self._p("stats"), "stats.parquet")
-        if os.path.exists(journal):
-            with open(journal) as f:
-                n_docs_target = int(json.load(f)["n_docs_target"])
-        else:
-            n_del = (
-                spark.read.parquet(self._p("doclen"))
-                .select("doc_id")
-                .distinct()
-                .join(dd, "doc_id", "semi")
-                .count()
+        Deleted docs that never produced a doclen row (all-stop-word
+        content) are a documented blind spot of the live-doc count."""
+        spark = self.spark
+        d = self.deleted()
+        n_segments = len(self.cat.table_dirs("packed"))
+        if d is None and n_segments <= 1:
+            return  # nothing to drop, nothing to merge
+        token = uuid.uuid4().hex[:12]
+        dd = F.broadcast(
+            (
+                d.select("doc_id").distinct()
+                if d is not None
+                else spark.createDataFrame([], "doc_id long")
             )
-            st = pd.read_parquet(stats_file)
-            n_docs_target = int(st["n_docs"].iloc[0]) - n_del
-            tmp = journal + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump({"n_docs_target": n_docs_target}, f)
-            os.replace(tmp, journal)
+        )
+
+        n_del = (
+            read_table(spark, self.index_dir, "doclen")
+            .select("doc_id")
+            .distinct()
+            .join(dd, "doc_id", "semi")
+            .count()
+        )
+        st = read_stats_pdf(self.index_dir).copy()
+        st["n_docs"] = int(st["n_docs"].iloc[0]) - n_del
+
+        changes: dict = {}
+
+        def fresh(table: str) -> str:
+            rel = self.cat.new_data_dir(table, token)
+            changes[table] = ("set", [rel])
+            return self.cat.abspath(rel)
+
         tables = ["postings_flat", "doclen"]
-        if os.path.isdir(self._p("doc_meta")):
+        if self.cat.table_dirs("doc_meta"):
             tables.append("doc_meta")
         for table in tables:
-            t = spark.read.parquet(self._p(table))
+            t = read_table(spark, self.index_dir, table)
             t.join(dd, "doc_id", "left_anti").write.mode("overwrite").parquet(
-                self._p(table + "__new")
+                fresh(table)
             )
-            self._swap(table)
-        postings = spark.read.parquet(self._p("postings_flat"))
-        tdf = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-        tdf.write.mode("overwrite").parquet(self._p("term_df__new"))
-        self._swap("term_df")
+        new_postings = spark.read.parquet(
+            self.cat.abspath(changes["postings_flat"][1][0])
+        )
+        new_doclen = spark.read.parquet(
+            self.cat.abspath(changes["doclen"][1][0])
+        )
 
-        st = pd.read_parquet(stats_file)
-        st["n_docs"] = n_docs_target
-        st.to_parquet(stats_file)
+        new_postings.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        ).write.mode("overwrite").parquet(fresh("term_df"))
 
-        from information_retrieval_spark.index.pack import pack_index
+        stats_dir = fresh("stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        st.to_parquet(os.path.join(stats_dir, "stats.parquet"))
 
-        pack_index(spark, self.index_dir)
+        from information_retrieval_spark.index.pack import pack_postings
 
-        import shutil
+        packed_dir = fresh("packed")
+        pack_postings(new_postings, new_doclen, packed_dir)
 
-        shutil.rmtree(self._p("deleted_docs"))
-        os.remove(journal)
+        lineage_frame(
+            {
+                "postings_flat": new_postings,
+                "doclen": new_doclen,
+                "packed": spark.read.parquet(packed_dir),
+            }
+        ).write.mode("overwrite").parquet(fresh("lineage"))
+
+        changes["deleted_docs"] = ("drop", None)
+        self.cat.commit(
+            changes,
+            "compact",
+            {"stage_token": token, "n_removed": n_del,
+             "segments_merged": n_segments},
+        )
+
+    # ------------------------------------------------------------------- GC
+
+    def expire_snapshots(self, keep_last: int = 2) -> list[str]:
+        """Drop old snapshots and delete the data dirs no kept snapshot
+        references; then sweep dirs referenced by NO snapshot (debris of
+        crashed operations). Time travel reaches only kept snapshots
+        afterwards. Call between mutations (single-writer schedule)."""
+        dead = self.cat.expire(keep_last)
+        return dead + self.cat.sweep_orphans()

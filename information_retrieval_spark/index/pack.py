@@ -107,8 +107,11 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
 
-def pack_index(spark: SparkSession, index_dir: str) -> str:
-    """postings_flat + doclen → ``packed`` shard table; returns its path.
+def pack_index(
+    spark: SparkSession, index_dir: str, out_path: str | None = None
+) -> str:
+    """postings_flat + doclen → packed shard table; returns its path
+    (default ``<index_dir>/packed``; maintenance passes a fresh data dir).
 
     Plan: postings ⨝ doclen → ONE shuffle: hash-repartition on the group
     key + sortWithinPartitions(key, doc_id) → ``mapInPandas`` packs whole
@@ -116,8 +119,19 @@ def pack_index(spark: SparkSession, index_dir: str) -> str:
     range-partitioned + sorted by term so parquet row-group min/max stats
     prune query-term lookups.
     """
-    postings = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
-    doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
+    from information_retrieval_spark.index.catalog import read_table
+
+    postings = read_table(spark, index_dir, "postings_flat")
+    doclen = read_table(spark, index_dir, "doclen")
+    return pack_postings(
+        postings, doclen, out_path or os.path.join(index_dir, "packed")
+    )
+
+
+def pack_postings(postings: DataFrame, doclen: DataFrame, out: str) -> str:
+    """Pack ONE coherent posting set (a full index, or one LSM segment's
+    delta — index/maintenance.py) into a sorted block-max shard dir."""
+    spark = postings.sparkSession
     joined = postings.select("term", "section", "bucket", "doc_id", "tf").join(
         doclen, ["doc_id", "section"]
     )
@@ -154,7 +168,6 @@ def pack_index(spark: SparkSession, index_dir: str) -> str:
         .sortWithinPartitions("term", "section", "bucket", "doc_id")
         .mapInPandas(pack_partition, PACKED_SCHEMA)
     )
-    out = os.path.join(index_dir, "packed")
     (
         packed.repartitionByRange(n_part, "term", "section", "bucket")
         .sortWithinPartitions("term", "section", "bucket", "block_id")
@@ -165,6 +178,9 @@ def pack_index(spark: SparkSession, index_dir: str) -> str:
 
 
 def packed_stats(spark: SparkSession, index_dir: str) -> DataFrame:
-    """Per-(term, section) df computed WITHOUT decoding: Σ block n."""
-    packed = spark.read.parquet(os.path.join(index_dir, "packed"))
+    """Per-(term, section) df computed WITHOUT decoding: Σ block n
+    (across all LSM segments — doc sets are disjoint, so n's add)."""
+    from information_retrieval_spark.index.catalog import read_packed
+
+    packed = read_packed(spark, index_dir)
     return packed.groupBy("term", "section").agg(F.sum("n").alias("df_sec"))

@@ -65,23 +65,35 @@ class SearchEngine:
     batches of ranked-retrieval queries."""
 
     def __init__(
-        self, spark: SparkSession, index_dir: str, distributed_spell: bool = False
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        distributed_spell: bool = False,
+        version: int | None = None,
     ):
         """``distributed_spell=True`` corrects query tokens with a Spark
         bigram-table join instead of the driver-side vocabulary dict — the
         scale path when the vocabulary exceeds driver RAM (same answers:
-        pinned-tie equivalence is tested)."""
+        pinned-tie equivalence is tested).
+
+        ``version`` pins a snapshot of the index's catalog (time travel):
+        the engine answers every query against the index exactly as it was
+        at that commit (index/catalog.py); None = current."""
+        from information_retrieval_spark.index.catalog import (
+            read_stats_pdf,
+            read_table,
+        )
+
         self.spark = spark
         self.index_dir = index_dir
+        self.version = version
         self.distributed_spell = distributed_spell
-        self.postings = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
-        self.doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
-        self.term_df = spark.read.parquet(os.path.join(index_dir, "term_df"))
-        import pandas as pd
-
-        stats = pd.read_parquet(os.path.join(index_dir, "stats"))
+        self.postings = read_table(spark, index_dir, "postings_flat", version)
+        self.doclen = read_table(spark, index_dir, "doclen", version)
+        self.term_df = read_table(spark, index_dir, "term_df", version)
+        stats = read_stats_pdf(index_dir, version)
         self.n_docs = int(stats["n_docs"].iloc[0])
-        cfg_sections = spark.read.parquet(os.path.join(index_dir, "stopwords"))
+        cfg_sections = read_table(spark, index_dir, "stopwords", version)
         self.stop_terms = {r.term for r in cfg_sections.collect()}
         import json
 
@@ -95,25 +107,26 @@ class SearchEngine:
         # what the reference does (its whole index lives in driver RAM).
         self._bigram_dict: dict | None = None
         # delete-vector (index/maintenance.py): docs logically removed
-        ddir = os.path.join(index_dir, "deleted_docs")
+        dd = read_table(spark, index_dir, "deleted_docs", version)
         self.deleted_df = (
-            spark.read.parquet(ddir).select("doc_id").distinct()
-            if os.path.exists(ddir)
-            else None
+            dd.select("doc_id").distinct() if dd is not None else None
         )
         # doc_meta (doc_id, category) for QuerySpec.filter_category
-        mdir = os.path.join(index_dir, "doc_meta")
-        self.doc_meta = (
-            spark.read.parquet(mdir) if os.path.exists(mdir) else None
-        )
+        self.doc_meta = read_table(spark, index_dir, "doc_meta", version)
 
     # ------------------------------------------------------------- helpers
 
     @property
     def bigram_dict(self) -> dict:
         if self._bigram_dict is None:
-            vocab = [r.term for r in self.spark.read.parquet(
-                os.path.join(self.index_dir, "vocab")).collect()]
+            from information_retrieval_spark.index.catalog import read_table
+
+            vocab = [
+                r.term
+                for r in read_table(
+                    self.spark, self.index_dir, "vocab", self.version
+                ).collect()
+            ]
             self._bigram_dict = build_bigram_dict(vocab)
         return self._bigram_dict
 
@@ -129,7 +142,9 @@ class SearchEngine:
         """Batch token→correction map via the distributed bigram join."""
         from information_retrieval_spark.query.spell import spell_map_for_texts
 
-        return spell_map_for_texts(self.spark, self.index_dir, texts)
+        return spell_map_for_texts(
+            self.spark, self.index_dir, texts, self.version
+        )
 
     def _default_weights(self, q: QuerySpec) -> dict[str, float]:
         if q.section_weights:

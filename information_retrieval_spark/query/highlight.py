@@ -26,7 +26,9 @@ def match_offsets(
     """(doc_id, section, term, positions) for the result docs × query terms.
     Pushed-filter scan on the term-sorted postings table + broadcast semi
     join against the (tiny) result set."""
-    postings = spark.read.parquet(os.path.join(index_dir, "postings_flat"))
+    from information_retrieval_spark.index.catalog import read_table
+
+    postings = read_table(spark, index_dir, "postings_flat")
     docs = results.select("doc_id").distinct()
     return (
         postings.filter(F.col("term").isin(list(qterms)))

@@ -100,15 +100,17 @@ def apply_corrections(text: str, fix) -> str:
 
 # ------------------------------------------------ distributed (vocab-scale)
 
-def spell_map_for_texts(spark, index_dir: str, texts: list[str]) -> dict[str, str]:
+def spell_map_for_texts(
+    spark, index_dir: str, texts: list[str], version: int | None = None
+) -> dict[str, str]:
     """Batch token→correction map for a query batch via the distributed
     bigram join over the index's vocab table (shared by both engines)."""
-    import os
+    from information_retrieval_spark.index.catalog import read_table
 
     tokens = [t for text in texts for t in text.split()]
     if not tokens:
         return {}
-    vocab = spark.read.parquet(os.path.join(index_dir, "vocab"))
+    vocab = read_table(spark, index_dir, "vocab", version)
     return correct_words_spark(vocab, tokens)
 
 

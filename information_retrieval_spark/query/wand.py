@@ -138,6 +138,55 @@ class _List:
             self.off = j
 
 
+class _SegmentedList:
+    """Cursor over the CONCATENATION of one (term, section)'s posting runs
+    across LSM segments (index/maintenance.py: each incremental add commits
+    a new packed segment instead of repacking). Segment doc-id sets are
+    DISJOINT (add_documents requires fresh doc_ids), so at any point exactly
+    one run holds the minimum doc — contribution/advance delegate to it, and
+    the upper bound is the max of the per-segment bounds (tight, unlike a
+    sum: no doc can combine tf across segments)."""
+
+    __slots__ = ("runs", "weight", "avgdl", "ub", "blocks")
+
+    def __init__(self, runs: list[_List], weight: float, avgdl: float):
+        self.runs = runs
+        self.weight = weight
+        self.avgdl = avgdl
+        # flattened view for _MergedList's Σ max_tf / min min_dl bound
+        self.blocks = [b for r in runs for b in r.blocks]
+        self.ub = max(r.ub for r in runs)
+
+    def exhausted(self) -> bool:
+        return all(r.exhausted() for r in self.runs)
+
+    def _min_run(self) -> _List:
+        best = None
+        for r in self.runs:
+            if not r.exhausted() and (
+                best is None or r.cur_doc() < best.cur_doc()
+            ):
+                best = r
+        return best
+
+    def cur_doc(self) -> int:
+        return self._min_run().cur_doc()
+
+    def contribution(self) -> float:
+        return self._min_run().contribution()
+
+    def cur_tf_dl(self) -> tuple[float, float]:
+        return self._min_run().cur_tf_dl()
+
+    def advance(self) -> None:
+        self._min_run().advance()
+
+    def seek(self, target: int) -> None:
+        for r in self.runs:
+            if not r.exhausted():
+                r.seek(target)
+
+
 class _MergedList:
     """Cursor over the UNION of several posting runs — the prefix-expansion
     semantics (`trie/phase1.py:17-36` via `engine.py::_matched`): a query
@@ -249,18 +298,33 @@ class WandEngine:
     """BM25 top-k via block-max WAND over ``<index_dir>/packed``."""
 
     def __init__(
-        self, spark: SparkSession, index_dir: str, distributed_spell: bool = False
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        distributed_spell: bool = False,
+        version: int | None = None,
     ):
         """``distributed_spell=True``: query-token correction via the
         Spark bigram-table join (`spell.correct_words_spark`) instead of
-        the driver-side vocabulary dict — vocab never leaves the cluster."""
+        the driver-side vocabulary dict — vocab never leaves the cluster.
+
+        ``version`` pins a catalog snapshot (time travel; None = current).
+        The packed table arrives with its LSM ``segment`` column
+        (catalog.read_packed): incremental adds commit new segments instead
+        of repacking, and the per-bucket scorer merges segment cursors."""
+        from information_retrieval_spark.index.catalog import (
+            read_packed,
+            read_table,
+        )
+
         self.spark = spark
         self.index_dir = index_dir
+        self.version = version
         self.distributed_spell = distributed_spell
-        self.packed = spark.read.parquet(os.path.join(index_dir, "packed"))
-        self.doclen = spark.read.parquet(os.path.join(index_dir, "doclen"))
-        self.term_df = spark.read.parquet(os.path.join(index_dir, "term_df"))
-        stop = spark.read.parquet(os.path.join(index_dir, "stopwords"))
+        self.packed = read_packed(spark, index_dir, version)
+        self.doclen = read_table(spark, index_dir, "doclen", version)
+        self.term_df = read_table(spark, index_dir, "term_df", version)
+        stop = read_table(spark, index_dir, "stopwords", version)
         self.stop_terms = {r.term for r in stop.collect()}
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.config = json.load(f)["config"]
@@ -270,16 +334,11 @@ class WandEngine:
         # scoring pass receives each bucket's deleted ids cogrouped with
         # its shard (see search), so membership stays partition-aligned
         # at any delete-vector size.
-        ddir = os.path.join(index_dir, "deleted_docs")
+        dd = read_table(spark, index_dir, "deleted_docs", version)
         self.deleted_df = (
-            spark.read.parquet(ddir).select("doc_id").distinct()
-            if os.path.exists(ddir)
-            else None
+            dd.select("doc_id").distinct() if dd is not None else None
         )
-        mdir = os.path.join(index_dir, "doc_meta")
-        self.doc_meta = (
-            spark.read.parquet(mdir) if os.path.exists(mdir) else None
-        )
+        self.doc_meta = read_table(spark, index_dir, "doc_meta", version)
         self.n_buckets = int(self.config.get("n_buckets", 8))
         self._dl_map_df = None
         self._last_shard = None
@@ -321,12 +380,13 @@ class WandEngine:
         """Spell-correct against the (vocabulary-sized) bigram dictionary —
         same driver-side path as the exhaustive engine (quirk Q7)."""
         if self._bigram_dict is None:
+            from information_retrieval_spark.index.catalog import read_table
             from information_retrieval_spark.query.spell import build_bigram_dict
 
             vocab = [
                 r.term
-                for r in self.spark.read.parquet(
-                    os.path.join(self.index_dir, "vocab")
+                for r in read_table(
+                    self.spark, self.index_dir, "vocab", self.version
                 ).collect()
             ]
             self._bigram_dict = build_bigram_dict(vocab)
@@ -371,6 +431,7 @@ class WandEngine:
             fixes = spell_map_for_texts(
                 self.spark, self.index_dir,
                 [q.text for q in queries if q.spell],
+                self.version,
             )
         qtoks: dict[int, dict[str, int]] = {}
         for q in queries:
@@ -588,12 +649,26 @@ class WandEngine:
         def wand_bucket_impl(
             pdf: pd.DataFrame, cat_of: dict | None, deleted: frozenset
         ) -> pd.DataFrame:
-            by_ts: dict[tuple[str, str], list] = {}
-            pdf = pdf.sort_values(["term", "section", "block_id"])
+            # (term, section) → {segment → block run}: each LSM segment is
+            # its own sorted, non-overlapping run; multi-segment groups get
+            # a _SegmentedList cursor over the per-segment _Lists
+            by_ts: dict[tuple[str, str], dict[int, list]] = {}
+            pdf = pdf.sort_values(["term", "section", "segment", "block_id"])
             for r in pdf.itertuples(index=False):
-                by_ts.setdefault((r.term, r.section), []).append(
+                by_ts.setdefault((r.term, r.section), {}).setdefault(
+                    int(r.segment), []
+                ).append(
                     (r.first_doc, r.last_doc, r.docs_bin, r.tfs_bin,
                      r.dls_bin, r.max_tf, r.min_dl)
+                )
+
+            def cursor(key: tuple[str, str], weight: float, avgdl: float):
+                segs = [
+                    _List(blocks, weight, avgdl)
+                    for _, blocks in sorted(by_ts[key].items())
+                ]
+                return segs[0] if len(segs) == 1 else _SegmentedList(
+                    segs, weight, avgdl
                 )
             out_q, out_d, out_s = [], [], []
             for qid, meta in qmeta.items():
@@ -606,7 +681,7 @@ class WandEngine:
                 lists = []
                 for (qterm, s), m in meta["terms"].items():
                     runs = [
-                        _List(by_ts[(t, s)], m["weight"], m["avgdl"])
+                        cursor((t, s), m["weight"], m["avgdl"])
                         for t in m["expand"]
                         if (t, s) in by_ts
                     ]

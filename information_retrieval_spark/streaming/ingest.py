@@ -6,20 +6,22 @@ dynamic `add_document` (`ir-phase-1.ipynb:c22`). This module is the
 Spark-native composition of that capability with a streaming source:
 
     files landing in <watch_dir>  ──readStream──►  micro-batch
-      └─ foreachBatch ► IndexMaintenance.add_documents(batch)
+      └─ foreachBatch ► IndexMaintenance.add_documents(batch, batch_id)
 
 Delivery semantics: Structured Streaming's file source + checkpoint gives
 at-least-once batch delivery to ``foreachBatch``. Exactly-once application
-is achieved with stage → commit plus a batchId ledger
-(``<index_dir>/stream_batches.json``):
+falls out of the snapshot catalog (index/catalog.py):
 
 * each batch's outputs are STAGED under ``<index_dir>/__stage_batch_<id>``
   without touching live tables (``IndexMaintenance.stage_add``);
-* the commit (``commit_add``) is redoable — on replay after a crash
-  mid-commit, the frozen stage is re-committed to the same result;
-* a replay after the ledger write is a pure no-op; a crash mid-STAGING
-  leaves no live-table effects, so the partial stage is discarded and
-  rebuilt.
+* the commit is ONE atomic snapshot swap whose summary RECORDS the
+  ``stream_batch_id`` — the applied-batch ledger IS the snapshot chain, so
+  "batch applied" and "batch visible" are the same atomic event (no
+  ledger-after-commit window at all);
+* a replay after the commit finds its batch id in the snapshot history and
+  no-ops; a replay after a crash mid-commit finds the frozen stage and
+  finishes the same commit (token-idempotent); a crash mid-STAGING leaves
+  no live effects, so the partial stage is discarded and rebuilt.
 
 Use ``trigger(availableNow=True)`` for catch-up/batch-drain runs (tests do
 this) or a processing-time trigger for continuous operation.
@@ -27,8 +29,8 @@ this) or a processing-time trigger for continuous operation.
 
 from __future__ import annotations
 
-import json
 import os
+import shutil
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
@@ -45,25 +47,18 @@ CORPUS_SCHEMA = T.StructType(
 )
 
 
-def _ledger_path(index_dir: str) -> str:
-    return os.path.join(index_dir, "stream_batches.json")
+def applied_batches(index_dir: str) -> set[int]:
+    """Stream batch ids recorded in the snapshot chain (the ledger)."""
+    from information_retrieval_spark.index.catalog import Catalog
 
-
-def _applied(index_dir: str) -> set[int]:
-    p = _ledger_path(index_dir)
-    if not os.path.exists(p):
+    if not Catalog.exists(index_dir):
         return set()
-    with open(p) as f:
-        return set(json.load(f)["applied"])
-
-
-def _mark_applied(index_dir: str, batch_id: int) -> None:
-    ids = _applied(index_dir)
-    ids.add(int(batch_id))
-    tmp = _ledger_path(index_dir) + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"applied": sorted(ids)}, f)
-    os.replace(tmp, _ledger_path(index_dir))
+    out = set()
+    for snap in Catalog(index_dir).history():
+        b = snap.get("summary", {}).get("stream_batch_id")
+        if b is not None:
+            out.add(int(b))
+    return out
 
 
 def run_incremental_indexing(
@@ -82,31 +77,26 @@ def run_incremental_indexing(
     stream = spark.readStream.schema(schema).parquet(watch_dir)
 
     def handle(batch_df, batch_id: int) -> None:
-        import shutil
-
         stage = os.path.join(index_dir, f"__stage_batch_{int(batch_id)}")
-        if int(batch_id) in _applied(index_dir):
-            # replay after the ledger write: drop any leftover stage dir
-            if os.path.isdir(stage):
-                shutil.rmtree(stage)
+        if int(batch_id) in applied_batches(index_dir):
+            # replay after the committed snapshot: drop any leftover stage
+            shutil.rmtree(stage, ignore_errors=True)
             return
         maint = IndexMaintenance(spark, index_dir)
         if IndexMaintenance.is_staged(stage):
-            # crash happened during/after commit but before the ledger
-            # write: finish committing the FROZEN stage (never re-stage —
-            # the staged term_df/stats were merged against the pre-batch
-            # tables, so rebuilding after a partial commit would double-add)
-            maint.commit_add(stage)
+            # crash happened mid-commit: finish committing the FROZEN stage
+            # (never re-stage — the staged aggregates were merged against
+            # the pre-batch snapshot; the stage token makes the finish
+            # idempotent and the batch id lands in the same snapshot)
+            maint.commit_add(stage, batch_id=int(batch_id))
         else:
             if os.path.isdir(stage):
                 shutil.rmtree(stage)  # partial stage: no live effects yet
             if batch_df.isEmpty():
-                _mark_applied(index_dir, batch_id)
                 return
             maint.stage_add(batch_df, stage)
-            maint.commit_add(stage)
-        _mark_applied(index_dir, batch_id)
-        shutil.rmtree(stage)
+            maint.commit_add(stage, batch_id=int(batch_id))
+        shutil.rmtree(stage, ignore_errors=True)
 
     writer = (
         stream.writeStream.foreachBatch(handle)

@@ -98,41 +98,62 @@ def _fold_sessions(
     yield _emit(out)
 
 
-def _fold_sessions_event_time(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """EventTimeTimeout variant: same fold, but the open session also
-    closes when the WATERMARK passes its last event + gap — no sentinel
-    needed; this is the production end-of-session signal. The state is
-    KEPT (with no open session) after a timeout so a returning user's
-    session numbering continues where it left off, matching the batch
-    twin's running ordinal; the residual state is one tuple per
-    ever-seen user."""
-    (user_id,) = key
-    if state.hasTimedOut:
+def _make_event_time_fold(state_ttl_s: int | None):
+    """EventTimeTimeout fold: the open session also closes when the
+    WATERMARK passes its last event + gap — no sentinel needed; this is
+    the production end-of-session signal.
+
+    After a timeout closes the session, the state (with no open session)
+    is KEPT so a returning user's session numbering continues where it
+    left off, matching the batch twin's running ordinal. Without a TTL
+    that residual is one tuple per ever-seen user — unbounded over an
+    unbounded key space. ``state_ttl_s`` bounds it: the close re-arms the
+    timer at watermark + TTL, and a second fire with nothing open REMOVES
+    the state. Documented divergence: a user idle longer than the TTL
+    restarts numbering at 1 (state is O(users active within TTL))."""
+
+    def fold(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            open_start, last, n_ev, closed = _load(state)
+            out = []
+            if open_start is not None:
+                closed += 1
+                out.append((user_id, closed, n_ev, open_start, last))
+                state.update((None, None, 0, closed))
+                if state_ttl_s is not None:
+                    # purge timer: if the user stays idle past the TTL,
+                    # the next fire finds nothing open and drops the state
+                    state.setTimeoutTimestamp(
+                        state.getCurrentWatermarkMs() + state_ttl_s * 1000
+                    )
+            else:
+                state.remove()  # the purge timer fired: user idle > TTL
+            yield _emit(out)
+            return
         open_start, last, n_ev, closed = _load(state)
         out = []
-        if open_start is not None:
-            closed += 1
-            out.append((user_id, closed, n_ev, open_start, last))
-        state.update((None, None, 0, closed))
+        open_start, last, n_ev, closed = _fold(
+            user_id, pdfs, open_start, last, n_ev, closed, out
+        )
+        state.update((open_start, last, n_ev, closed))
+        if last is not None:
+            # fire when the event-time watermark passes the gap after the
+            # open session's last event; clamped above the CURRENT
+            # watermark — an event already older than (watermark − gap)
+            # would otherwise set a timestamp in the past, which Spark
+            # rejects and fails the query
+            fire_ms = (last + SESSION_GAP_S + 1) * 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1))
         yield _emit(out)
-        return
-    open_start, last, n_ev, closed = _load(state)
-    out = []
-    open_start, last, n_ev, closed = _fold(
-        user_id, pdfs, open_start, last, n_ev, closed, out
-    )
-    state.update((open_start, last, n_ev, closed))
-    if last is not None:
-        # fire when the event-time watermark passes the gap after the open
-        # session's last event; clamped above the CURRENT watermark — an
-        # event already older than (watermark − gap) would otherwise set a
-        # timestamp in the past, which Spark rejects and fails the query
-        fire_ms = (last + SESSION_GAP_S + 1) * 1000
-        wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(fire_ms, wm_ms + 1))
-    yield _emit(out)
+
+    return fold
+
+
+_fold_sessions_event_time = _make_event_time_fold(None)
 
 
 def sessionize_stream_event_time(
@@ -140,11 +161,15 @@ def sessionize_stream_event_time(
     watch_dir: str,
     files_per_trigger: int | None = 1,
     watermark: str = "0 seconds",
+    state_ttl_s: int | None = None,
 ):
     """readStream → watermark → stateful fold with EventTimeTimeout:
     sessions close either by an arriving event's gap or by the watermark
     overtaking the open session — the production path (the NoTimeout
-    variant needs an explicit flush signal)."""
+    variant needs an explicit flush signal). ``state_ttl_s`` purges the
+    per-user residual state after that much idle event-time (bounding
+    state to users active within the TTL, at the documented cost of
+    session numbering restarting for longer-idle users)."""
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(files_per_trigger))
@@ -154,7 +179,7 @@ def sessionize_stream_event_time(
         .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
-            _fold_sessions_event_time,
+            _make_event_time_fold(state_ttl_s),
             outputStructType=SESSIONS_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",

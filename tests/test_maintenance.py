@@ -102,11 +102,12 @@ def test_remove_then_compact(spark, tmp_path_factory):
     assert _results(SearchEngine(spark, d)) == want
     assert _results(WandEngine(spark, d)) == want
 
-    # physical compaction: same answers, delete vector gone
+    # physical compaction: same answers, delete vector gone from the
+    # current snapshot
     maint.compact()
-    import os
+    from information_retrieval_spark.index.catalog import table_dirs
 
-    assert not os.path.exists(f"{d}/deleted_docs")
+    assert table_dirs(d, "deleted_docs") == []
     assert _results(SearchEngine(spark, d)) == want
     assert _results(WandEngine(spark, d)) == want
 
@@ -155,13 +156,14 @@ def test_prefix_gate_respects_deletes(spark, tmp_path_factory):
     assert got == want
 
 
-def test_compact_recovers_from_crash_mid_swap(spark, tmp_path_factory):
-    """A crash between a compact swap's rmtree and rename leaves the live
-    table absent with <table>__new complete; re-running compact must
-    finish the rename and converge (the delete vector is only cleared at
-    the very end, so the re-run sees the same deletes)."""
-    import os as _os
-    import shutil
+def test_compact_crash_leaves_old_snapshot_queryable(
+    spark, tmp_path_factory, monkeypatch
+):
+    """A compact that dies mid-way (here: while packing the merged
+    segment) must leave the pre-compact snapshot fully intact — every
+    query still answers with the logical deletes applied — and a re-run
+    must converge to the fresh-build answer."""
+    import information_retrieval_spark.index.pack as pack_mod
 
     rows = corpus_rows(120)
     removed = {r.doc_id for r in rows[30:50]}
@@ -173,29 +175,33 @@ def test_compact_recovers_from_crash_mid_swap(spark, tmp_path_factory):
     maint = IndexMaintenance(spark, d)
     maint.remove_documents(sorted(removed))
 
-    # simulate the crash window on doclen: filtered table staged as __new,
-    # live dir removed, rename never happened
-    live = spark.read.parquet(f"{d}/doclen")
-    dd = spark.createDataFrame([(x,) for x in sorted(removed)], "doc_id long")
-    live.join(dd, "doc_id", "left_anti").write.mode("overwrite").parquet(
-        f"{d}/doclen__new"
-    )
-    shutil.rmtree(f"{d}/doclen")
-    assert not _os.path.exists(f"{d}/doclen")
-
-    maint.compact()  # must recover, not crash
-
     fresh = str(tmp_path_factory.mktemp("crashfresh"))
     IndexBuilder(
         spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
         stop_terms=_stop_of(spark, d),
     ).build(_df(spark, kept))
-    assert _results(SearchEngine(spark, d)) == _results(
-        SearchEngine(spark, fresh)
-    )
-    assert _results(WandEngine(spark, d)) == _results(
-        SearchEngine(spark, fresh)
-    )
+    want = _results(SearchEngine(spark, fresh))
+
+    real = pack_mod.pack_postings
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during segment merge")
+
+    monkeypatch.setattr(pack_mod, "pack_postings", boom)
+    with pytest.raises(RuntimeError):
+        maint.compact()
+    monkeypatch.setattr(pack_mod, "pack_postings", real)
+
+    # old snapshot untouched: both engines still answer correctly
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+    maint.compact()  # recovery re-run converges
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    assert table_dirs(d, "deleted_docs") == []
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
 
 
 def test_add_documents_retry_same_delta_applies_once(spark, tmp_path_factory):
@@ -210,22 +216,20 @@ def test_add_documents_retry_same_delta_applies_once(spark, tmp_path_factory):
     maint = IndexMaintenance(spark, d)
     delta = _df(spark, rows[120:])
 
-    # simulate a crash mid-commit: full stage + one delta file moved
+    # simulate a crash mid-commit: full stage, one table moved to its data
+    # dir, snapshot never committed
     import os as _os
 
     stage = f"{d}/__stage_add"
     maint.stage_add(delta, stage)
-    moved = 0
-    for fn in sorted(_os.listdir(f"{stage}/postings_delta")):
-        if fn.endswith(".parquet") and moved < 1:
-            _os.replace(
-                f"{stage}/postings_delta/{fn}", f"{d}/postings_flat/{fn}"
-            )
-            moved += 1
-    assert moved == 1
+    token = maint._stage_info(stage)["token"]
+    dest = maint.cat.abspath(maint.cat.new_data_dir("postings_flat", token))
+    _os.replace(f"{stage}/postings_delta", dest)
 
     # the retry call with the same delta
     maint.add_documents(delta)
+
+    from information_retrieval_spark.index.catalog import read_table
 
     fresh = str(tmp_path_factory.mktemp("retryfresh"))
     IndexBuilder(
@@ -233,8 +237,8 @@ def test_add_documents_retry_same_delta_applies_once(spark, tmp_path_factory):
         stop_terms=_stop_of(spark, d),
     ).build(_df(spark, rows))
     assert (
-        spark.read.parquet(f"{d}/postings_flat").count()
-        == spark.read.parquet(f"{fresh}/postings_flat").count()
+        read_table(spark, d, "postings_flat").count()
+        == read_table(spark, fresh, "postings_flat").count()
     )
     assert _results(SearchEngine(spark, d)) == _results(
         SearchEngine(spark, fresh)
@@ -244,12 +248,14 @@ def test_add_documents_retry_same_delta_applies_once(spark, tmp_path_factory):
 def test_compact_rerun_after_crash_keeps_stats_exact(
     spark, tmp_path_factory, monkeypatch
 ):
-    """compact journals the ABSOLUTE n_docs target before mutating
-    anything: a crash (here: pack_index raising) and re-run must leave
-    n_docs decremented exactly once."""
-    import pandas as pd
-
+    """n_docs is part of the compact's atomic snapshot: a crash (here:
+    pack_postings raising) leaves it untouched, and the re-run decrements
+    it exactly once."""
     import information_retrieval_spark.index.pack as pack_mod
+    from information_retrieval_spark.index.catalog import (
+        read_stats_pdf,
+        table_dirs,
+    )
 
     rows = corpus_rows(120)
     removed = sorted(r.doc_id for r in rows[40:60])
@@ -257,24 +263,101 @@ def test_compact_rerun_after_crash_keeps_stats_exact(
     IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
         _df(spark, rows)
     )
-    n0 = int(pd.read_parquet(f"{d}/stats/stats.parquet")["n_docs"].iloc[0])
+    n0 = int(read_stats_pdf(d)["n_docs"].iloc[0])
     maint = IndexMaintenance(spark, d)
     maint.remove_documents(removed)
 
-    real_pack = pack_mod.pack_index
+    real_pack = pack_mod.pack_postings
 
     def boom(*a, **k):
         raise RuntimeError("simulated crash during repack")
 
-    monkeypatch.setattr(pack_mod, "pack_index", boom)
+    monkeypatch.setattr(pack_mod, "pack_postings", boom)
     with pytest.raises(RuntimeError):
         maint.compact()
-    monkeypatch.setattr(pack_mod, "pack_index", real_pack)
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == n0  # snapshot intact
+    monkeypatch.setattr(pack_mod, "pack_postings", real_pack)
     maint.compact()  # recovery re-run
 
-    n1 = int(pd.read_parquet(f"{d}/stats/stats.parquet")["n_docs"].iloc[0])
-    assert n1 == n0 - len(removed)
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == n0 - len(removed)
+    assert table_dirs(d, "deleted_docs") == []
+
+
+def test_add_commits_segment_and_compact_merges(spark, tmp_path_factory):
+    """Incremental adds commit NEW packed segments (pack cost ∝ delta, the
+    LSM economics) instead of repacking; WAND over the multi-segment index
+    is rank-identical to the exhaustive engine; compact() with no deletes
+    still merges the segments back to one."""
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(180)
+    d = str(tmp_path_factory.mktemp("lsm"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:150]))
+    maint.add_documents(_df(spark, rows[150:180]))
+    assert len(table_dirs(d, "packed")) == 3  # base + two segments
+
+    want = _results(SearchEngine(spark, d))
+    assert _results(WandEngine(spark, d)) == want
+
+    maint.compact()  # no deletes: pure segment merge
+    assert len(table_dirs(d, "packed")) == 1
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+
+def test_time_travel_pins_pre_mutation_snapshot(spark, tmp_path_factory):
+    """Engines with version= answer against the index as of that commit:
+    the build snapshot ignores later adds and deletes."""
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("tt"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    v_build = 1
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:150]))
+    maint.remove_documents([r.doc_id for r in rows[:10]])
+
+    fresh120 = str(tmp_path_factory.mktemp("tt_fresh"))
+    IndexBuilder(
+        spark, fresh120, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows[:120]))
+    want_old = _results(SearchEngine(spark, fresh120))
+
+    assert _results(SearchEngine(spark, d, version=v_build)) == want_old
+    assert _results(WandEngine(spark, d, version=v_build)) == want_old
+    # and the CURRENT snapshot reflects both mutations
+    assert _results(SearchEngine(spark, d)) != want_old
+
+
+def test_expire_snapshots_gc(spark, tmp_path_factory):
+    """expire drops old snapshots and deletes data dirs nothing kept
+    references; the current snapshot keeps answering."""
     import os as _os
 
-    assert not _os.path.exists(f"{d}/deleted_docs")
-    assert not _os.path.exists(f"{d}/__compact_journal.json")
+    import pytest as _pytest
+
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("gc"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:150]))
+    maint.remove_documents([r.doc_id for r in rows[:5]])
+    maint.compact()
+    want = _results(SearchEngine(spark, d))
+
+    dead = maint.expire_snapshots(keep_last=1)
+    assert dead  # the pre-compact postings/packed dirs are unreferenced now
+    for rel in dead:
+        assert not _os.path.exists(f"{d}/{rel}")
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+    with _pytest.raises(FileNotFoundError):
+        SearchEngine(spark, d, version=1)

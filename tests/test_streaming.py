@@ -77,11 +77,15 @@ def test_streaming_ingest_matches_batch_build(spark, tmp_path):
     ).build(_df(spark, rows))
     assert _results(SearchEngine(spark, idx)) == _results(SearchEngine(spark, fresh))
 
-    # drain again with nothing new: ledger + checkpoint make it a no-op
-    n_docs_before = spark.read.parquet(f"{idx}/postings_flat").count()
+    # drain again with nothing new: the snapshot-chain ledger + checkpoint
+    # make it a no-op
+    from information_retrieval_spark.index.catalog import read_table
+    from information_retrieval_spark.streaming.ingest import applied_batches
+
+    n_docs_before = read_table(spark, idx, "postings_flat").count()
     run_incremental_indexing(spark, idx, str(watch), cp)
-    assert spark.read.parquet(f"{idx}/postings_flat").count() == n_docs_before
-    assert os.path.exists(f"{idx}/stream_batches.json")
+    assert read_table(spark, idx, "postings_flat").count() == n_docs_before
+    assert applied_batches(idx) == {0}
 
 
 def test_crash_mid_commit_recovers_exactly_once(spark, tmp_path):
@@ -107,19 +111,21 @@ def test_crash_mid_commit_recovers_exactly_once(spark, tmp_path):
     # the batch that will arrive as streaming batch 0
     _write_rows(str(watch / "part1.parquet"), rows[100:150])
 
-    # stage it exactly as handle() would, then "crash" after moving only
-    # half of the staged postings files
+    # stage it exactly as handle() would, then "crash" after moving one
+    # staged table to its data dir but BEFORE the snapshot commit
     maint = IndexMaintenance(spark, idx)
     stage = f"{idx}/__stage_batch_0"
     maint.stage_add(_df(spark, rows[100:150]), stage)
-    moved = 0
-    for fn in sorted(os.listdir(f"{stage}/postings_delta")):
-        if fn.endswith(".parquet") and moved < 2:
-            os.replace(
-                f"{stage}/postings_delta/{fn}", f"{idx}/postings_flat/{fn}"
-            )
-            moved += 1
-    assert moved > 0
+    token = maint._stage_info(stage)["token"]
+    dest = maint.cat.abspath(maint.cat.new_data_dir("postings_flat", token))
+    os.replace(f"{stage}/postings_delta", dest)
+
+    # nothing committed: queries still see the 100-doc snapshot
+    from information_retrieval_spark.index.catalog import read_table
+
+    assert read_table(spark, idx, "postings_flat").count() == (
+        read_table(spark, idx, "postings_flat", version=1).count()
+    )
 
     run_incremental_indexing(spark, idx, str(watch), cp)
 
@@ -131,6 +137,6 @@ def test_crash_mid_commit_recovers_exactly_once(spark, tmp_path):
     assert not os.path.exists(stage)
     # exactly-once: postings row count matches the fresh build
     assert (
-        spark.read.parquet(f"{idx}/postings_flat").count()
-        == spark.read.parquet(f"{fresh}/postings_flat").count()
+        read_table(spark, idx, "postings_flat").count()
+        == read_table(spark, fresh, "postings_flat").count()
     )

@@ -144,3 +144,62 @@ def test_returning_user_keeps_session_numbering(spark, tmp_path):
         for r in spark.table("ret_sessions").collect()
     )
     assert got == [(1, 2), (2, 1)]
+
+
+def test_state_ttl_purges_idle_users(spark, tmp_path):
+    """With state_ttl_s, a user idle past the TTL has their residual
+    state REMOVED (bounding state to TTL-active users); when they return,
+    numbering restarts at 1 — the documented divergence from the
+    keep-forever default (previous test)."""
+    from information_retrieval_spark.streaming.sessions import (
+        sessionize_stream_event_time,
+    )
+
+    base = pd.Timestamp("2026-01-01 00:00:00")
+    gap = pd.Timedelta(seconds=SESSION_GAP_S)
+
+    def mk(path, user_id, ts_list):
+        df = pd.DataFrame(
+            {
+                "event_id": range(len(ts_list)),
+                "ts": pd.Series(ts_list).astype("datetime64[us]"),
+                "user_id": user_id,
+                "event_type": "view",
+                "value": 0.0,
+                "props": "{}",
+            }
+        )
+        pq.write_table(pa.Table.from_pandas(df), path)
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    mk(str(watch / "p0.parquet"), 1, [base, base + pd.Timedelta(seconds=60)])
+    # user 2 drives the watermark forward one file per micro-batch
+    mk(str(watch / "p1.parquet"), 2, [base + 10 * gap])
+    mk(str(watch / "p2.parquet"), 2, [base + 20 * gap])  # closes u1 s1
+    mk(str(watch / "p3.parquet"), 2, [base + 30 * gap])  # purge fires (ttl=2gap)
+    mk(str(watch / "p4.parquet"), 1, [base + 40 * gap])  # u1 returns
+    mk(str(watch / "p5.parquet"), 2, [base + 50 * gap])
+    mk(str(watch / "p6.parquet"), 2, [base + 60 * gap])  # closes u1 s2
+
+    q = (
+        sessionize_stream_event_time(
+            spark, str(watch), state_ttl_s=2 * SESSION_GAP_S
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ttl_sessions")
+        .option("checkpointLocation", str(tmp_path / "cp"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    u1 = sorted(
+        (r.session_id, r.n_events)
+        for r in spark.table("ttl_sessions").collect()
+        if r.user_id == 1
+    )
+    # both of user 1's sessions carry ordinal 1: the second one started
+    # AFTER the purge, so numbering restarted (without TTL it would be 2,
+    # as test_returning_user_keeps_session_numbering shows)
+    assert u1 == [(1, 1), (1, 2)]
