@@ -312,6 +312,44 @@ def read_packed(
     return out
 
 
+def read_term_df(
+    spark: SparkSession,
+    index_dir: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """term_df with MERGE-ON-READ semantics: incremental adds commit
+    delta (term, df) dirs (delta docs are new, so df contributions ADD);
+    multi-dir snapshots re-aggregate on read. Query-term filters push
+    down to every directory scan BEFORE the aggregation, so a lookup
+    still reads only the matching row groups; compact() collapses back
+    to one pre-aggregated dir. This keeps an add's write cost at delta
+    grain — rewriting the merged table per add would be a full
+    vocabulary-sized rewrite (at 10^12 code files the term dictionary is
+    itself huge)."""
+    dirs = table_dirs(index_dir, "term_df", version)
+    if not dirs:
+        return None
+    df = spark.read.parquet(*dirs)
+    if len(dirs) > 1:
+        df = df.groupBy("term").agg(F.sum("df").alias("df"))
+    return df
+
+
+def read_vocab(
+    spark: SparkSession,
+    index_dir: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """vocab with merge-on-read distinct across delta dirs (same economics
+    as `read_term_df`; duplicate terms across deltas must collapse —
+    the bigram spell join scores per vocab ROW)."""
+    dirs = table_dirs(index_dir, "vocab", version)
+    if not dirs:
+        return None
+    v = spark.read.parquet(*dirs)
+    return v.distinct() if len(dirs) > 1 else v
+
+
 def read_stats_pdf(index_dir: str, version: int | None = None):
     """The one-row stats table as a pandas frame (driver-side scalar)."""
     import pandas as pd

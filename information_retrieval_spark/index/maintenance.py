@@ -7,10 +7,12 @@ on top of the Iceberg-style snapshot catalog (index/catalog.py):
 
 * **add_documents(delta)** — LSM-style: tokenize ONLY the new docs, pack
   their postings into a NEW compressed segment, and commit one snapshot
-  that appends the delta dirs (postings/doclen/doc_meta/packed/lineage)
-  and replaces the merged aggregates (term_df/vocab/stats). Cost ∝ delta,
-  NOT index size — the round-1 design repacked the whole index per add,
-  which at 10^12 files is a full index rewrite per delta. WAND merges
+  that appends delta dirs for EVERY table (postings/doclen/doc_meta/
+  packed/lineage, and merge-on-read term_df/vocab deltas —
+  `catalog.read_term_df`/`read_vocab`); only the one-row stats table is
+  rewritten. Cost ∝ delta, NOT index or vocabulary size — the round-1
+  design repacked the whole index per add, which at 10^12 files is a
+  full index rewrite per delta. WAND merges
   segment cursors at query time (query/wand.py `_SegmentedList`).
 * **remove_documents(doc_ids)** — logical delete: commit a delta dir to
   the ``deleted_docs`` table (delete-vector pattern; Iceberg's
@@ -59,8 +61,8 @@ _STAGE_TABLES = [
     ("doc_meta_delta", "doc_meta", "append"),
     ("packed_delta", "packed", "append"),
     ("lineage_delta", "lineage", "append"),
-    ("term_df", "term_df", "set"),
-    ("vocab", "vocab", "set"),
+    ("term_df", "term_df", "append"),
+    ("vocab", "vocab", "append"),
     ("stats", "stats", "set"),
 ]
 
@@ -189,24 +191,16 @@ class IndexMaintenance:
             os.path.join(stage_dir, "lineage_delta")
         )
 
-        # incremental term_df: old ∪ delta, summed (delta docs are new, so
-        # df contributions add)
-        delta_df = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-        old_df = read_table(spark, self.index_dir, "term_df")
-        merged = (
-            old_df.unionByName(delta_df)
-            .groupBy("term")
-            .agg(F.sum("df").alias("df"))
+        # term_df / vocab: DELTA-ONLY dirs, merged on read
+        # (catalog.read_term_df sums df across dirs, read_vocab distincts) —
+        # rewriting the merged tables per add would be a vocabulary-sized
+        # write, the one remaining ∝-index cost an add must not pay
+        tf.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        ).write.mode("overwrite").parquet(os.path.join(stage_dir, "term_df"))
+        tokens.select("term").distinct().write.mode("overwrite").parquet(
+            os.path.join(stage_dir, "vocab")
         )
-        merged.write.mode("overwrite").parquet(os.path.join(stage_dir, "term_df"))
-
-        # vocab: distinct union
-        vocab = (
-            read_table(spark, self.index_dir, "vocab")
-            .unionByName(tokens.select("term").distinct())
-            .distinct()
-        )
-        vocab.write.mode("overwrite").parquet(os.path.join(stage_dir, "vocab"))
 
         # stats: n_docs += delta count
         n_add = delta.count()
@@ -337,6 +331,16 @@ class IndexMaintenance:
         new_postings.groupBy("term").agg(
             F.countDistinct("doc_id").alias("df")
         ).write.mode("overwrite").parquet(fresh("term_df"))
+
+        # vocab content is unchanged by deletes (spell dictionary keeps all
+        # terms ever indexed, as the reference's bigram index does), but
+        # accumulated delta dirs collapse back to one pre-distincted dir
+        from information_retrieval_spark.index.catalog import read_vocab
+
+        if len(self.cat.table_dirs("vocab")) > 1:
+            read_vocab(spark, self.index_dir).write.mode(
+                "overwrite"
+            ).parquet(fresh("vocab"))
 
         stats_dir = fresh("stats")
         os.makedirs(stats_dir, exist_ok=True)

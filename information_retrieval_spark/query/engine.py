@@ -82,6 +82,7 @@ class SearchEngine:
         from information_retrieval_spark.index.catalog import (
             read_stats_pdf,
             read_table,
+            read_term_df,
         )
 
         self.spark = spark
@@ -90,7 +91,7 @@ class SearchEngine:
         self.distributed_spell = distributed_spell
         self.postings = read_table(spark, index_dir, "postings_flat", version)
         self.doclen = read_table(spark, index_dir, "doclen", version)
-        self.term_df = read_table(spark, index_dir, "term_df", version)
+        self.term_df = read_term_df(spark, index_dir, version)
         stats = read_stats_pdf(index_dir, version)
         self.n_docs = int(stats["n_docs"].iloc[0])
         cfg_sections = read_table(spark, index_dir, "stopwords", version)
@@ -119,12 +120,12 @@ class SearchEngine:
     @property
     def bigram_dict(self) -> dict:
         if self._bigram_dict is None:
-            from information_retrieval_spark.index.catalog import read_table
+            from information_retrieval_spark.index.catalog import read_vocab
 
             vocab = [
                 r.term
-                for r in read_table(
-                    self.spark, self.index_dir, "vocab", self.version
+                for r in read_vocab(
+                    self.spark, self.index_dir, self.version
                 ).collect()
             ]
             self._bigram_dict = build_bigram_dict(vocab)

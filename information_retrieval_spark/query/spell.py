@@ -105,12 +105,12 @@ def spell_map_for_texts(
 ) -> dict[str, str]:
     """Batch token→correction map for a query batch via the distributed
     bigram join over the index's vocab table (shared by both engines)."""
-    from information_retrieval_spark.index.catalog import read_table
+    from information_retrieval_spark.index.catalog import read_vocab
 
     tokens = [t for text in texts for t in text.split()]
     if not tokens:
         return {}
-    vocab = read_table(spark, index_dir, "vocab", version)
+    vocab = read_vocab(spark, index_dir, version)
     return correct_words_spark(vocab, tokens)
 
 

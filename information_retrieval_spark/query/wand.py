@@ -315,6 +315,7 @@ class WandEngine:
         from information_retrieval_spark.index.catalog import (
             read_packed,
             read_table,
+            read_term_df,
         )
 
         self.spark = spark
@@ -323,7 +324,7 @@ class WandEngine:
         self.distributed_spell = distributed_spell
         self.packed = read_packed(spark, index_dir, version)
         self.doclen = read_table(spark, index_dir, "doclen", version)
-        self.term_df = read_table(spark, index_dir, "term_df", version)
+        self.term_df = read_term_df(spark, index_dir, version)
         stop = read_table(spark, index_dir, "stopwords", version)
         self.stop_terms = {r.term for r in stop.collect()}
         with open(os.path.join(index_dir, "manifest.json")) as f:
@@ -380,13 +381,13 @@ class WandEngine:
         """Spell-correct against the (vocabulary-sized) bigram dictionary —
         same driver-side path as the exhaustive engine (quirk Q7)."""
         if self._bigram_dict is None:
-            from information_retrieval_spark.index.catalog import read_table
+            from information_retrieval_spark.index.catalog import read_vocab
             from information_retrieval_spark.query.spell import build_bigram_dict
 
             vocab = [
                 r.term
-                for r in read_table(
-                    self.spark, self.index_dir, "vocab", self.version
+                for r in read_vocab(
+                    self.spark, self.index_dir, self.version
                 ).collect()
             ]
             self._bigram_dict = build_bigram_dict(vocab)
