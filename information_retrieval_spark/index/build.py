@@ -280,7 +280,11 @@ class IndexBuilder:
         # so a filtered search prunes whole partitions.
         if self.category_col is not None:
             def s_doc_meta():
-                _write(
+                # hive-partitioned by category: a category-restricted
+                # search prunes whole partition directories; rows stay
+                # doc_id-sorted within each partition for the matched-
+                # stream join's row-group pruning
+                (
                     corpus.select(
                         # cast to long: WAND buckets category rows with
                         # xxhash64(doc_id), which hashes 4-byte ints and
@@ -288,9 +292,11 @@ class IndexBuilder:
                         # id would silently land in the wrong bucket
                         F.col(self.doc_id_col).cast("long").alias("doc_id"),
                         F.col(self.category_col).alias("category"),
-                    ),
-                    self.path("doc_meta"),
-                    ["doc_id"],
+                    )
+                    .sortWithinPartitions("doc_id")
+                    .write.mode("overwrite")
+                    .partitionBy("category")
+                    .parquet(self.path("doc_meta"))
                 )
                 return {}
 

@@ -175,12 +175,27 @@ class Catalog:
         return new_v
 
     def committed_token(self, token: str) -> bool:
-        """True if ANY snapshot carries ``stage_token == token`` — the
-        idempotence check for crash-retried staged commits."""
+        """True if a snapshot carries ``stage_token == token`` — the
+        idempotence check for crash-retried staged commits. Scanned newest
+        first: under the single-writer assumption a retried commit is the
+        most recent snapshot, so the realistic hit is O(1), not
+        O(history)."""
         return any(
-            s.get("summary", {}).get("stage_token") == token
-            for s in self.history()
+            self.load(v).get("summary", {}).get("stage_token") == token
+            for v in reversed(self.versions())
         )
+
+    def last_stream_batch(self) -> int | None:
+        """Most recent ``stream_batch_id`` in the snapshot chain (newest
+        first, stop at the first hit — batch ids are monotonic, so this
+        is THE high-water mark; streaming replays only ever re-deliver
+        ids ≤ it). Keeps the exactly-once check O(commits since the last
+        stream batch), not O(all history)."""
+        for v in reversed(self.versions()):
+            b = self.load(v).get("summary", {}).get("stream_batch_id")
+            if b is not None:
+                return int(b)
+        return None
 
     def ensure(self, legacy_tables: list[str]) -> None:
         """Bootstrap v1 from a legacy plain-directory index: reference the
@@ -348,6 +363,30 @@ def read_vocab(
         return None
     v = spark.read.parquet(*dirs)
     return v.distinct() if len(dirs) > 1 else v
+
+
+def read_doc_meta(
+    spark: SparkSession,
+    index_dir: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """doc_meta (doc_id, category), category-HIVE-PARTITIONED on disk so
+    a category-restricted search prunes whole partition directories
+    (PartitionFilters, no data files of other categories touched). Dirs
+    are scanned separately and unioned — Spark's multi-root partition
+    discovery needs a shared basePath that committed data dirs don't
+    have — which preserves per-scan pruning. Tolerates legacy
+    unpartitioned dirs (same columns either way)."""
+    dirs = table_dirs(index_dir, "doc_meta", version)
+    if not dirs:
+        return None
+    parts = [
+        spark.read.parquet(d).select("doc_id", "category") for d in dirs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def read_stats_pdf(index_dir: str, version: int | None = None):

@@ -164,11 +164,12 @@ class IndexMaintenance:
         cat_col = self.config.get("category_col")
         if cat_col is not None:
             # long cast: must match the build-time doc_meta type (WAND's
-            # xxhash64 bucketing is type-sensitive)
+            # xxhash64 bucketing is type-sensitive); category-partitioned
+            # like the build (catalog.read_doc_meta)
             delta.select(
                 F.col("doc_id").cast("long").alias("doc_id"),
                 F.col(cat_col).alias("category"),
-            ).write.mode("overwrite").parquet(
+            ).write.mode("overwrite").partitionBy("category").parquet(
                 os.path.join(stage_dir, "doc_meta_delta")
             )
 
@@ -313,14 +314,19 @@ class IndexMaintenance:
             changes[table] = ("set", [rel])
             return self.cat.abspath(rel)
 
-        tables = ["postings_flat", "doclen"]
-        if self.cat.table_dirs("doc_meta"):
-            tables.append("doc_meta")
-        for table in tables:
+        for table in ("postings_flat", "doclen"):
             t = read_table(spark, self.index_dir, table)
             t.join(dd, "doc_id", "left_anti").write.mode("overwrite").parquet(
                 fresh(table)
             )
+        if self.cat.table_dirs("doc_meta"):
+            from information_retrieval_spark.index.catalog import read_doc_meta
+
+            read_doc_meta(spark, self.index_dir).join(
+                dd, "doc_id", "left_anti"
+            ).sortWithinPartitions("doc_id").write.mode(
+                "overwrite"
+            ).partitionBy("category").parquet(fresh("doc_meta"))
         new_postings = spark.read.parquet(
             self.cat.abspath(changes["postings_flat"][1][0])
         )

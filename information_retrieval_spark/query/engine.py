@@ -113,7 +113,10 @@ class SearchEngine:
             dd.select("doc_id").distinct() if dd is not None else None
         )
         # doc_meta (doc_id, category) for QuerySpec.filter_category
-        self.doc_meta = read_table(spark, index_dir, "doc_meta", version)
+        # (category-partitioned: catalog.read_doc_meta)
+        from information_retrieval_spark.index.catalog import read_doc_meta
+
+        self.doc_meta = read_doc_meta(spark, index_dir, version)
 
     # ------------------------------------------------------------- helpers
 
@@ -157,14 +160,18 @@ class SearchEngine:
     # --------------------------------------------------------------- plans
 
     def _matched(
-        self, qterms: DataFrame, match_mode: str, cat_df: DataFrame | None = None
+        self,
+        qterms: DataFrame,
+        match_mode: str,
+        cat: tuple[DataFrame, list[str]] | None = None,
     ) -> DataFrame:
         """(query_id, qterm, mult, doc_id, section, tf) — tf merged over the
-        prefix expansion when match_mode='prefix'. ``cat_df`` is the
-        optional (query_id, want_cat) table: filtered queries are restricted
-        to their category's docs like a per-query delete vector — BEFORE the
-        has_exact gate and candidate stats, so the whole query runs against
-        the sub-corpus."""
+        prefix expansion when match_mode='prefix'. ``cat`` is the optional
+        ((query_id, want_cat) table, distinct wanted categories): filtered
+        queries are restricted to their category's docs like a per-query
+        delete vector — BEFORE the has_exact gate and candidate stats, so
+        the whole query runs against the sub-corpus."""
+        cat_df, wanted = cat if cat is not None else (None, [])
         p = self.postings.select("term", "section", "doc_id", "tf")
         if self.deleted_df is not None:
             # anti-join the delete vector BEFORE stats: the per-query
@@ -196,11 +203,17 @@ class SearchEngine:
                     " IndexBuilder(category_col=...)"
                 )
             # doc-keyed join on the term-pruned matched stream — the same
-            # shape (and cost class) as the doclen join in scoring; at
-            # scale doc_meta is category-partitioned so this prunes files
+            # shape (and cost class) as the doclen join in scoring.
+            # doc_meta is restricted to the batch's wanted categories FIRST
+            # (semantics-preserving: a doc outside them joins category=null
+            # and fails the want_cat comparison exactly as its real
+            # category would) — the filter lands as a PartitionFilter on
+            # the hive-partitioned layout, so other categories' files are
+            # never read
+            dm = self.doc_meta.filter(F.col("category").isin(wanted))
             m = (
                 m.join(F.broadcast(cat_df), "query_id", "left")
-                .join(self.doc_meta, "doc_id", "left")
+                .join(dm, "doc_id", "left")
                 .filter(
                     F.col("want_cat").isNull()
                     | (F.col("category") == F.col("want_cat"))
@@ -219,7 +232,12 @@ class SearchEngine:
             F.sum("tf").alias("tf")
         )
 
-    def _cat_df(self, queries: list[QuerySpec]) -> DataFrame | None:
+    def _cat_df(
+        self, queries: list[QuerySpec]
+    ) -> tuple[DataFrame, list[str]] | None:
+        """((query_id, want_cat) frame, distinct wanted categories) — the
+        list rides along driver-side so _matched can pre-prune doc_meta
+        without a collect job."""
         rows = [
             (q.query_id, q.filter_category)
             for q in queries
@@ -227,9 +245,10 @@ class SearchEngine:
         ]
         if not rows:
             return None
-        return self.spark.createDataFrame(
+        df = self.spark.createDataFrame(
             rows, "query_id long, want_cat string"
         )
+        return df, sorted({c for _, c in rows})
 
     def _cand_stats(self, matched: DataFrame):
         """Candidate set + per-query N + per-(query, section) avgdl (Q1/Q2)."""

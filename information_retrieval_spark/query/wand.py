@@ -313,6 +313,7 @@ class WandEngine:
         (catalog.read_packed): incremental adds commit new segments instead
         of repacking, and the per-bucket scorer merges segment cursors."""
         from information_retrieval_spark.index.catalog import (
+            read_doc_meta,
             read_packed,
             read_table,
             read_term_df,
@@ -339,7 +340,7 @@ class WandEngine:
         self.deleted_df = (
             dd.select("doc_id").distinct() if dd is not None else None
         )
-        self.doc_meta = read_table(spark, index_dir, "doc_meta", version)
+        self.doc_meta = read_doc_meta(spark, index_dir, version)
         self.n_buckets = int(self.config.get("n_buckets", 8))
         self._dl_map_df = None
         self._last_shard = None
@@ -526,9 +527,16 @@ class WandEngine:
             cat_df = self.spark.createDataFrame(
                 list(cat_map.items()), "query_id long, want_cat string"
             )
+            # pre-prune doc_meta to the batch's wanted categories: lands as
+            # a PartitionFilter on the hive-partitioned layout (docs outside
+            # them join category=null and fail the want_cat comparison
+            # exactly as their real category would)
+            dm = self.doc_meta.filter(
+                F.col("category").isin(sorted(set(cat_map.values())))
+            )
             live_mq = (
                 live_mq.join(F.broadcast(cat_df), "query_id", "left")
-                .join(self.doc_meta, "doc_id", "left")
+                .join(dm, "doc_id", "left")
                 .filter(
                     F.col("want_cat").isNull()
                     | (F.col("category") == F.col("want_cat"))

@@ -48,7 +48,9 @@ CORPUS_SCHEMA = T.StructType(
 
 
 def applied_batches(index_dir: str) -> set[int]:
-    """Stream batch ids recorded in the snapshot chain (the ledger)."""
+    """Stream batch ids recorded in the snapshot chain (the ledger) —
+    full-history scan, for tests/inspection; the hot path uses
+    `batch_applied`."""
     from information_retrieval_spark.index.catalog import Catalog
 
     if not Catalog.exists(index_dir):
@@ -59,6 +61,18 @@ def applied_batches(index_dir: str) -> set[int]:
         if b is not None:
             out.add(int(b))
     return out
+
+
+def batch_applied(index_dir: str, batch_id: int) -> bool:
+    """O(1)-ish exactly-once check: batch ids are monotonic (Structured
+    Streaming replays only the last incomplete batch), so applied ⟺
+    id ≤ the chain's newest recorded stream_batch_id."""
+    from information_retrieval_spark.index.catalog import Catalog
+
+    if not Catalog.exists(index_dir):
+        return False
+    last = Catalog(index_dir).last_stream_batch()
+    return last is not None and int(batch_id) <= last
 
 
 def run_incremental_indexing(
@@ -78,7 +92,7 @@ def run_incremental_indexing(
 
     def handle(batch_df, batch_id: int) -> None:
         stage = os.path.join(index_dir, f"__stage_batch_{int(batch_id)}")
-        if int(batch_id) in applied_batches(index_dir):
+        if batch_applied(index_dir, int(batch_id)):
             # replay after the committed snapshot: drop any leftover stage
             shutil.rmtree(stage, ignore_errors=True)
             return

@@ -236,3 +236,23 @@ def test_filter_category_with_int_doc_ids(spark, tmp_path_factory):
     assert _res(WandEngine(spark, idx), specs) == want
     lang_of = {r.doc_id: r.lang for r in rows}
     assert all(lang_of[doc] == CAT for _, doc, _ in want[1])
+
+
+def test_doc_meta_category_partition_pruning(spark, cat_index):
+    """doc_meta is hive-partitioned by category: a category-restricted
+    read lands as a PartitionFilter, so other categories' files are never
+    touched (the engines pre-prune doc_meta to the batch's wanted
+    categories before their per-query joins)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.index.catalog import read_doc_meta
+
+    dm = read_doc_meta(spark, cat_index).filter(
+        F.col("category").isin(["java"])
+    )
+    plan = dm._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[[^\]]*\]", plan)
+    assert pf and "category" in pf[0] and "java" in pf[0]
+    assert dm.count() > 0
