@@ -407,11 +407,18 @@ class IndexBuilder:
             return {}
 
         # stage 8: packed block-max shards (delta-gap + varint, per-block
-        # max_tf/min_dl — the north_star layout; index/pack.py)
+        # max_tf/min_dl — the north_star layout; index/pack.py). Packed
+        # from the EXPLICIT legacy paths this build just wrote — resolving
+        # through a pre-existing catalog here would union stale delta dirs
+        # from before an in-place rebuild into the new pack.
         def s_packed():
-            from information_retrieval_spark.index.pack import pack_index
+            from information_retrieval_spark.index.pack import pack_postings
 
-            pack_index(self.spark, self.index_dir)
+            pack_postings(
+                self.spark.read.parquet(self.path("postings_flat")),
+                self.spark.read.parquet(self.path("doclen")),
+                self.path("packed"),
+            )
             return {}
 
         # doclen / term_df / vocab depend only on the committed postings
@@ -456,16 +463,36 @@ class IndexBuilder:
 
         stage("lineage", s_lineage)
 
-        # stage 10: snapshot v1 — register every table in the catalog
+        # stage 10: snapshot — register every table in the catalog
         # (index/catalog.py): subsequent maintenance commits are atomic
-        # snapshot swaps, and queries can time-travel back to this build
+        # snapshot swaps, and queries can time-travel back to this build.
+        # Rebuilding IN PLACE over an already-catalogued index commits a
+        # "rebuild" snapshot that RESETS every table to the fresh legacy
+        # dirs (stale delta dirs and delete vectors are dropped) — note an
+        # in-place rebuild overwrites dirs older snapshots reference, so
+        # time travel to pre-rebuild versions is forfeit (build into a new
+        # directory to keep history).
         def s_catalog():
             from information_retrieval_spark.index.catalog import (
                 CORE_TABLES,
                 Catalog,
             )
 
-            Catalog(self.index_dir).ensure(CORE_TABLES)
+            cat = Catalog(self.index_dir)
+            if cat.current_version() is None:
+                cat.ensure(CORE_TABLES)
+            else:
+                cat.commit(
+                    {
+                        t: (
+                            ("set", [t])
+                            if os.path.isdir(self.path(t))
+                            else ("drop", None)
+                        )
+                        for t in CORE_TABLES
+                    },
+                    "rebuild",
+                )
             return {}
 
         stage("catalog", s_catalog)

@@ -95,12 +95,19 @@ class Catalog:
             return json.load(f)
 
     def versions(self) -> list[int]:
-        if not os.path.isdir(self.cat_dir):
+        """Committed versions only: a v{N}.json ABOVE CURRENT is the
+        orphan of a commit that crashed before the pointer swap — it was
+        never visible and must not count as history (the next commit
+        reclaims its file, `commit`)."""
+        cur = self.current_version()
+        if cur is None or not os.path.isdir(self.cat_dir):
             return []
         out = []
         for fn in os.listdir(self.cat_dir):
             if fn.startswith("v") and fn.endswith(".json"):
-                out.append(int(fn[1:-5]))
+                v = int(fn[1:-5])
+                if v <= cur:
+                    out.append(v)
         return sorted(out)
 
     def table_dirs(self, table: str, version: int | None = None) -> list[str]:
@@ -152,20 +159,44 @@ class Catalog:
             else:
                 raise ValueError(f"unknown table op {op!r}")
         new_v = 1 if cur is None else cur + 1
+        summary = dict(summary or {})
+        # running stream high-water mark: carried forward through EVERY
+        # commit so it survives compaction and snapshot expiry — the
+        # streaming exactly-once check reads it from the current snapshot
+        # alone (O(1), no history walk)
+        prev_max = (
+            self.load(cur)["summary"].get("max_stream_batch")
+            if cur is not None
+            else None
+        )
+        this_b = summary.get("stream_batch_id")
+        hw = max(
+            (x for x in (prev_max, this_b) if x is not None), default=None
+        )
+        if hw is not None:
+            summary["max_stream_batch"] = int(hw)
         snap = {
             "version": new_v,
             "parent": cur,
             "operation": operation,
-            "summary": summary or {},
+            "summary": summary,
             "tables": tables,
         }
         os.makedirs(self.cat_dir, exist_ok=True)
         # O_EXCL fences concurrent writers: the second committer of the same
-        # parent fails here instead of silently clobbering
-        fd = os.open(
-            os.path.join(self.cat_dir, f"v{new_v}.json"),
-            os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-        )
+        # parent fails here instead of silently clobbering. An existing file
+        # at new_v with CURRENT still below it is NOT a concurrent winner —
+        # it is the orphan of a commit that crashed before the pointer swap
+        # (versions() never exposes it); reclaim it and continue.
+        path = os.path.join(self.cat_dir, f"v{new_v}.json")
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            cur_now = self.current_version()
+            if cur_now is not None and cur_now >= new_v:
+                raise  # a concurrent writer committed first: genuine fence
+            os.remove(path)  # crashed-commit orphan (single live writer)
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
         with os.fdopen(fd, "w") as f:
             json.dump(snap, f, indent=1, sort_keys=True)
         tmp = os.path.join(self.cat_dir, CURRENT + ".tmp")
@@ -174,28 +205,29 @@ class Catalog:
         os.replace(tmp, os.path.join(self.cat_dir, CURRENT))
         return new_v
 
-    def committed_token(self, token: str) -> bool:
+    def committed_token(self, token: str, since: int | None = None) -> bool:
         """True if a snapshot carries ``stage_token == token`` — the
-        idempotence check for crash-retried staged commits. Scanned newest
-        first: under the single-writer assumption a retried commit is the
-        most recent snapshot, so the realistic hit is O(1), not
-        O(history)."""
+        idempotence check for crash-retried staged commits. ``since``
+        bounds the scan to versions AFTER it (the stage records the
+        catalog version it was staged against, so a fresh commit checks
+        zero-or-one snapshots instead of the whole history)."""
+        vs = self.versions()
+        if since is not None:
+            vs = [v for v in vs if v > since]
         return any(
             self.load(v).get("summary", {}).get("stage_token") == token
-            for v in reversed(self.versions())
+            for v in reversed(vs)
         )
 
     def last_stream_batch(self) -> int | None:
-        """Most recent ``stream_batch_id`` in the snapshot chain (newest
-        first, stop at the first hit — batch ids are monotonic, so this
-        is THE high-water mark; streaming replays only ever re-deliver
-        ids ≤ it). Keeps the exactly-once check O(commits since the last
-        stream batch), not O(all history)."""
-        for v in reversed(self.versions()):
-            b = self.load(v).get("summary", {}).get("stream_batch_id")
-            if b is not None:
-                return int(b)
-        return None
+        """The stream high-water mark: ``max_stream_batch`` is carried
+        forward through every commit (see `commit`), so ONE read of the
+        current snapshot answers — it survives compaction and expire()."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        b = self.load(cur)["summary"].get("max_stream_batch")
+        return int(b) if b is not None else None
 
     def ensure(self, legacy_tables: list[str]) -> None:
         """Bootstrap v1 from a legacy plain-directory index: reference the
@@ -245,6 +277,13 @@ class Catalog:
         crashed operations (their dirs were moved/written but the commit
         never happened). Only safe when no mutation is in flight
         (single-writer assumption makes that the caller's schedule)."""
+        # orphan snapshot files above CURRENT (crashed commits) go too
+        cur = self.current_version()
+        if cur is not None and os.path.isdir(self.cat_dir):
+            for fn in list(os.listdir(self.cat_dir)):
+                if fn.startswith("v") and fn.endswith(".json"):
+                    if int(fn[1:-5]) > cur:
+                        os.remove(os.path.join(self.cat_dir, fn))
         data_root = os.path.join(self.index_dir, DATA_SUBDIR)
         if not os.path.isdir(data_root):
             return []
@@ -380,13 +419,31 @@ def read_doc_meta(
     dirs = table_dirs(index_dir, "doc_meta", version)
     if not dirs:
         return None
+    # explicit schema: partition-column TYPE INFERENCE would otherwise
+    # read a numeric-looking category ("007", "2024") back as int —
+    # losing the leading zero and breaking both the per-dir union and the
+    # engines' string comparisons; a user schema pins it to string
     parts = [
-        spark.read.parquet(d).select("doc_id", "category") for d in dirs
+        spark.read.schema("doc_id long, category string")
+        .parquet(d)
+        .select("doc_id", "category")
+        for d in dirs
     ]
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def prune_doc_meta(doc_meta: DataFrame, wanted: list[str]) -> DataFrame:
+    """Restrict doc_meta to a batch's wanted categories — shared by both
+    engines so the pruning (and its semantics) stay in lockstep. The
+    filter lands as a PartitionFilter on the hive-partitioned layout, so
+    other categories' files are never read. Semantics-preserving under
+    the engines' later LEFT join + want_cat comparison: a doc outside
+    ``wanted`` joins category=null and fails the comparison exactly as
+    its real category would."""
+    return doc_meta.filter(F.col("category").isin(sorted(set(wanted))))
 
 
 def read_stats_pdf(index_dir: str, version: int | None = None):

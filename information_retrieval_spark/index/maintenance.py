@@ -93,9 +93,14 @@ class IndexMaintenance:
         stage = os.path.join(self.index_dir, "__stage_add")
         if self.is_staged(stage):
             info = self._stage_info(stage)
-            self.commit_add(stage)
+            same = info.get("fp") == self._delta_fp(delta)
+            # label the recovered commit with the caller's batch id ONLY
+            # when it is the same delta being retried — committing a
+            # DIFFERENT crashed add under this batch id would mark the
+            # new batch applied while its data was never staged
+            self.commit_add(stage, batch_id=batch_id if same else None)
             shutil.rmtree(stage)
-            if info.get("fp") == self._delta_fp(delta):
+            if same:
                 return int(info["n_add"])
         elif os.path.isdir(stage):
             shutil.rmtree(stage)  # partial stage: no live effects yet
@@ -217,6 +222,18 @@ class IndexMaintenance:
                     "n_add": int(n_add),
                     "fp": self._delta_fp(delta),
                     "token": uuid.uuid4().hex[:12],
+                    # which tables this stage produced: commit refuses to
+                    # publish if one went missing (e.g. swept by GC while
+                    # the stage was frozen) instead of silently committing
+                    # a partial snapshot
+                    "tables": [
+                        sub
+                        for sub, _, _ in _STAGE_TABLES
+                        if os.path.isdir(os.path.join(stage_dir, sub))
+                    ],
+                    # catalog version the stage was built against: bounds
+                    # the idempotence scan to commits after it
+                    "cat_version": self.cat.current_version(),
                 },
                 f,
             )
@@ -231,8 +248,9 @@ class IndexMaintenance:
         assert self.is_staged(stage_dir), "refusing to commit a partial stage"
         info = self._stage_info(stage_dir)
         token = info["token"]
-        if self.cat.committed_token(token):
+        if self.cat.committed_token(token, since=info.get("cat_version")):
             return  # crash happened after the snapshot: already applied
+        produced = set(info.get("tables", []))
         changes: dict = {}
         for sub, table, op in _STAGE_TABLES:
             src = os.path.join(stage_dir, sub)
@@ -241,6 +259,12 @@ class IndexMaintenance:
             if os.path.isdir(src):
                 os.replace(src, dst)
             elif not os.path.isdir(dst):
+                if sub in produced:
+                    raise RuntimeError(
+                        f"staged table {sub!r} vanished before commit"
+                        " (GC'd while frozen?) — refusing to publish a"
+                        " partial snapshot"
+                    )
                 continue  # table not produced by this stage (e.g. doc_meta)
             changes[table] = (op, [rel])
         summary = {"stage_token": token, "n_add": info["n_add"]}
@@ -378,7 +402,20 @@ class IndexMaintenance:
     def expire_snapshots(self, keep_last: int = 2) -> list[str]:
         """Drop old snapshots and delete the data dirs no kept snapshot
         references; then sweep dirs referenced by NO snapshot (debris of
-        crashed operations). Time travel reaches only kept snapshots
-        afterwards. Call between mutations (single-writer schedule)."""
+        crashed operations) — UNLESS a frozen stage exists, whose
+        already-moved-but-uncommitted dirs look like orphans and must
+        survive for its recovery commit. Time travel reaches only kept
+        snapshots afterwards. Call between mutations (single-writer
+        schedule)."""
         dead = self.cat.expire(keep_last)
-        return dead + self.cat.sweep_orphans()
+        if not self._frozen_stages():
+            dead = dead + self.cat.sweep_orphans()
+        return dead
+
+    def _frozen_stages(self) -> list[str]:
+        return [
+            d
+            for d in os.listdir(self.index_dir)
+            if d.startswith("__stage")
+            and self.is_staged(os.path.join(self.index_dir, d))
+        ]

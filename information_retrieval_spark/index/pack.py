@@ -31,7 +31,6 @@ codec.py).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import numpy as np
@@ -107,11 +106,12 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
 
-def pack_index(
-    spark: SparkSession, index_dir: str, out_path: str | None = None
-) -> str:
-    """postings_flat + doclen → packed shard table; returns its path
-    (default ``<index_dir>/packed``; maintenance passes a fresh data dir).
+def pack_postings(postings: DataFrame, doclen: DataFrame, out: str) -> str:
+    """Pack ONE coherent posting set (a full index, or one LSM segment's
+    delta — index/maintenance.py) into a sorted block-max shard dir.
+    Callers pass EXPLICIT inputs — there is deliberately no
+    resolve-from-index-dir convenience, because packing through the
+    catalog during an in-place rebuild would union stale delta dirs.
 
     Plan: postings ⨝ doclen → ONE shuffle: hash-repartition on the group
     key + sortWithinPartitions(key, doc_id) → ``mapInPandas`` packs whole
@@ -119,18 +119,6 @@ def pack_index(
     range-partitioned + sorted by term so parquet row-group min/max stats
     prune query-term lookups.
     """
-    from information_retrieval_spark.index.catalog import read_table
-
-    postings = read_table(spark, index_dir, "postings_flat")
-    doclen = read_table(spark, index_dir, "doclen")
-    return pack_postings(
-        postings, doclen, out_path or os.path.join(index_dir, "packed")
-    )
-
-
-def pack_postings(postings: DataFrame, doclen: DataFrame, out: str) -> str:
-    """Pack ONE coherent posting set (a full index, or one LSM segment's
-    delta — index/maintenance.py) into a sorted block-max shard dir."""
     spark = postings.sparkSession
     joined = postings.select("term", "section", "bucket", "doc_id", "tf").join(
         doclen, ["doc_id", "section"]

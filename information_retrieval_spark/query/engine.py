@@ -203,14 +203,13 @@ class SearchEngine:
                     " IndexBuilder(category_col=...)"
                 )
             # doc-keyed join on the term-pruned matched stream — the same
-            # shape (and cost class) as the doclen join in scoring.
-            # doc_meta is restricted to the batch's wanted categories FIRST
-            # (semantics-preserving: a doc outside them joins category=null
-            # and fails the want_cat comparison exactly as its real
-            # category would) — the filter lands as a PartitionFilter on
-            # the hive-partitioned layout, so other categories' files are
-            # never read
-            dm = self.doc_meta.filter(F.col("category").isin(wanted))
+            # shape (and cost class) as the doclen join in scoring;
+            # partition-pruned to the batch's wanted categories
+            from information_retrieval_spark.index.catalog import (
+                prune_doc_meta,
+            )
+
+            dm = prune_doc_meta(self.doc_meta, wanted)
             m = (
                 m.join(F.broadcast(cat_df), "query_id", "left")
                 .join(dm, "doc_id", "left")

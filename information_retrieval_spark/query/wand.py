@@ -527,13 +527,11 @@ class WandEngine:
             cat_df = self.spark.createDataFrame(
                 list(cat_map.items()), "query_id long, want_cat string"
             )
-            # pre-prune doc_meta to the batch's wanted categories: lands as
-            # a PartitionFilter on the hive-partitioned layout (docs outside
-            # them join category=null and fail the want_cat comparison
-            # exactly as their real category would)
-            dm = self.doc_meta.filter(
-                F.col("category").isin(sorted(set(cat_map.values())))
+            from information_retrieval_spark.index.catalog import (
+                prune_doc_meta,
             )
+
+            dm = prune_doc_meta(self.doc_meta, list(cat_map.values()))
             live_mq = (
                 live_mq.join(F.broadcast(cat_df), "query_id", "left")
                 .join(dm, "doc_id", "left")
@@ -720,9 +718,12 @@ class WandEngine:
         # passes through the driver
         metas = []
         if cat_map:
-            wanted = sorted(set(cat_map.values()))
+            from information_retrieval_spark.index.catalog import (
+                prune_doc_meta,
+            )
+
             metas.append(
-                self.doc_meta.filter(F.col("category").isin(wanted)).select(
+                prune_doc_meta(self.doc_meta, list(cat_map.values())).select(
                     "doc_id",
                     F.lit("cat").alias("kind"),
                     F.col("category").alias("val"),

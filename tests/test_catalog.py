@@ -36,20 +36,31 @@ def test_commit_set_append_drop(tmp_path):
     ]
 
 
-def test_concurrent_writer_fenced(tmp_path):
-    """Two writers committing on the same parent: the second gets EEXIST
-    from the O_EXCL snapshot-file create instead of clobbering."""
+def test_concurrent_writer_fenced(tmp_path, monkeypatch):
+    """Two writers racing on the same parent: the loser's O_EXCL create
+    collides with a snapshot the winner ALREADY MADE CURRENT, and the
+    commit raises instead of clobbering. (A colliding file NOT yet
+    current is the opposite case — a crashed commit's orphan — and is
+    reclaimed; see test_orphan_snapshot_reclaimed_not_counted.)"""
     root = str(tmp_path)
-    cat_a, cat_b = Catalog(root), Catalog(root)
-    cat_a.commit({"t": ("set", [])}, "build")
-    # simulate b racing a: b computes its commit while a lands v2
-    fd = os.open(
-        os.path.join(root, "catalog", "v2.json"),
-        os.O_WRONLY | os.O_CREAT | os.O_EXCL,
-    )
-    os.close(fd)
+    cat = Catalog(root)
+    cat.commit({"t": ("set", [])}, "build")
+    cat.commit({"t": ("append", ["x"])}, "add")  # the winner lands v2
+
+    # the loser read CURRENT=1 before the winner committed: feed it the
+    # stale value once, then let it see reality inside the except handler
+    real = Catalog.current_version
+    seen = []
+
+    def stale_once(self):
+        if not seen:
+            seen.append(1)
+            return 1
+        return real(self)
+
+    monkeypatch.setattr(Catalog, "current_version", stale_once)
     with pytest.raises(FileExistsError):
-        cat_b.commit({"t": ("append", ["x"])}, "add")
+        Catalog(root).commit({"t": ("append", ["y"])}, "add")
 
 
 def test_committed_token_idempotence(tmp_path):
@@ -100,3 +111,38 @@ def test_sweep_orphans(tmp_path):
     assert dead == ["data/t-orphan"]
     assert os.path.exists(os.path.join(root, "data/t-live"))
     assert not os.path.exists(os.path.join(root, "data/t-orphan"))
+
+
+def test_orphan_snapshot_reclaimed_not_counted(tmp_path):
+    """A v{N}.json ABOVE CURRENT (a commit that crashed before the
+    pointer swap) is invisible to history/committed_token and is
+    reclaimed by the next commit instead of blocking it forever."""
+    import json
+
+    root = str(tmp_path)
+    cat = Catalog(root)
+    cat.commit({"t": ("set", [])}, "build")
+    # orphan: v2.json written, CURRENT never swapped
+    with open(os.path.join(root, "catalog", "v2.json"), "w") as f:
+        json.dump({"version": 2, "summary": {"stage_token": "ghost"},
+                   "tables": {}}, f)
+    assert cat.versions() == [1]
+    assert not cat.committed_token("ghost")  # never visible ⇒ not committed
+    v = cat.commit({"t": ("append", ["x"])}, "add", {"stage_token": "real"})
+    assert v == 2 and cat.current_version() == 2
+    assert cat.committed_token("real")
+    assert not cat.committed_token("ghost")  # reclaimed, not resurrected
+
+
+def test_stream_high_water_mark_survives_expire(tmp_path):
+    """max_stream_batch is carried through every commit, so the
+    exactly-once check survives compaction + snapshot expiry."""
+    root = str(tmp_path)
+    _mkdirs(root, "data/a", "data/b")
+    cat = Catalog(root)
+    cat.commit({"t": ("set", ["data/a"])}, "build")
+    cat.commit({"t": ("append", [])}, "add", {"stream_batch_id": 7})
+    cat.commit({"t": ("set", ["data/b"])}, "compact")  # no batch id
+    assert cat.last_stream_batch() == 7
+    cat.expire(keep_last=1)  # drops the snapshot that carried batch 7
+    assert cat.last_stream_batch() == 7

@@ -361,3 +361,83 @@ def test_expire_snapshots_gc(spark, tmp_path_factory):
     assert _results(WandEngine(spark, d)) == want
     with _pytest.raises(FileNotFoundError):
         SearchEngine(spark, d, version=1)
+
+
+def test_rebuild_in_place_over_maintained_index(spark, tmp_path_factory):
+    """An in-place rebuild over a catalogued, previously-maintained index
+    must reset the snapshot to the fresh tables — stale LSM segments and
+    delta dirs from before the rebuild must not leak into the new pack
+    or the new snapshot."""
+    from information_retrieval_spark.index.catalog import Catalog, table_dirs
+
+    rows = corpus_rows(180)
+    d = str(tmp_path_factory.mktemp("rebuild"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    IndexMaintenance(spark, d).add_documents(_df(spark, rows[120:150]))
+    assert len(table_dirs(d, "packed")) == 2
+
+    # rebuild in place over the FULL corpus
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows)
+    )
+    assert Catalog(d).load()["operation"] == "rebuild"
+    assert len(table_dirs(d, "packed")) == 1  # stale segment dropped
+
+    fresh = str(tmp_path_factory.mktemp("rebuildfresh"))
+    IndexBuilder(spark, fresh, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows)
+    )
+    want = _results(SearchEngine(spark, fresh))
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+
+def test_sweep_spares_frozen_stage_and_commit_refuses_partial(
+    spark, tmp_path_factory
+):
+    """(a) expire_snapshots must NOT garbage-collect the moved-but-
+    uncommitted dirs of a frozen stage (they look like orphans);
+    (b) if a staged table does vanish, commit_add refuses to publish a
+    partial snapshot instead of silently omitting the table."""
+    import os as _os
+    import shutil as _shutil
+
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("sweepstage"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    delta = _df(spark, rows[120:])
+    stage = f"{d}/__stage_add"
+    maint.stage_add(delta, stage)
+    token = maint._stage_info(stage)["token"]
+    dest = maint.cat.abspath(maint.cat.new_data_dir("postings_flat", token))
+    _os.replace(f"{stage}/postings_delta", dest)
+
+    # (a) GC with the frozen stage present: the moved dir survives
+    maint.expire_snapshots(keep_last=5)
+    assert _os.path.isdir(dest)
+    maint.add_documents(delta)  # recovery converges
+    fresh = str(tmp_path_factory.mktemp("sweepfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows))
+    assert _results(SearchEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
+
+    # (b) a vanished staged table aborts the commit loudly
+    d2 = str(tmp_path_factory.mktemp("partial"))
+    IndexBuilder(spark, d2, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    m2 = IndexMaintenance(spark, d2)
+    stage2 = f"{d2}/__stage_add"
+    m2.stage_add(delta, stage2)
+    _shutil.rmtree(f"{stage2}/doclen_delta")
+    with pytest.raises(RuntimeError, match="vanished"):
+        m2.commit_add(stage2)
