@@ -68,9 +68,21 @@ _STAGE_TABLES = [
 
 
 class IndexMaintenance:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        index_dir: str,
+        auto_compact_segments: int | None = None,
+    ):
+        """``auto_compact_segments``: when set, an add whose commit leaves
+        MORE than this many LSM segments triggers ``compact()`` — the
+        Lucene-style amortization that bounds per-query segment fan-in
+        (each segment adds one cursor per (term, section) to WAND) while
+        keeping the common-case add delta-priced. None (default) leaves
+        compaction fully explicit."""
         self.spark = spark
         self.index_dir = index_dir
+        self.auto_compact_segments = auto_compact_segments
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.config = json.load(f)["config"]
         self.cat = Catalog(index_dir)
@@ -107,6 +119,15 @@ class IndexMaintenance:
         n_add = self.stage_add(delta, stage)
         self.commit_add(stage, batch_id=batch_id)
         shutil.rmtree(stage)
+        if (
+            self.auto_compact_segments is not None
+            and len(self.cat.table_dirs("packed"))
+            > self.auto_compact_segments
+        ):
+            # amortized merge: runs AFTER the add's snapshot landed, so a
+            # crash here loses nothing — the add is visible and the next
+            # trigger re-runs the merge
+            self.compact()
         return n_add
 
     def _delta_fp(self, delta: DataFrame) -> str:

@@ -441,3 +441,29 @@ def test_sweep_spares_frozen_stage_and_commit_refuses_partial(
     _shutil.rmtree(f"{stage2}/doclen_delta")
     with pytest.raises(RuntimeError, match="vanished"):
         m2.commit_add(stage2)
+
+
+def test_auto_compact_bounds_segments(spark, tmp_path_factory):
+    """auto_compact_segments triggers the merge once an add leaves more
+    than the threshold: segment fan-in stays bounded, answers unchanged."""
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(180)
+    d = str(tmp_path_factory.mktemp("autoc"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d, auto_compact_segments=2)
+    maint.add_documents(_df(spark, rows[120:150]))  # 2 segments: no merge
+    assert len(table_dirs(d, "packed")) == 2
+    maint.add_documents(_df(spark, rows[150:180]))  # 3 > 2: auto-merge
+    assert len(table_dirs(d, "packed")) == 1
+
+    fresh = str(tmp_path_factory.mktemp("autocfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows))
+    want = _results(SearchEngine(spark, fresh))
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
