@@ -163,12 +163,16 @@ class IndexMaintenance:
         n_buckets = self.config.get("n_buckets", 8)
         os.makedirs(stage_dir, exist_ok=True)
 
-        tokens = tokenize_corpus(delta, sections, tokenizer)
-        stop = read_table(spark, self.index_dir, "stopwords").select("term")
-        ns = tokens.join(F.broadcast(stop), "term", "left_anti")
+        def p(sub: str) -> str:
+            return os.path.join(stage_dir, sub)
 
-        tf = (
-            ns.groupBy("term", "section", "doc_id")
+        # ONE tokenize pass (build.py's shape): tokens stream from the scan
+        # into the tf_all aggregate, which is materialized once inside the
+        # stage; every other output derives from its read-back — the old
+        # shape re-ran the (most expensive) tokenizer for doclen and vocab
+        tokens = tokenize_corpus(delta, sections, tokenizer)
+        tf_all = (
+            tokens.groupBy("term", "section", "doc_id")
             .agg(F.array_sort(F.collect_set("pos")).alias("positions"))
             .withColumn("tf", F.size("positions"))
             .withColumn(
@@ -176,19 +180,46 @@ class IndexMaintenance:
                 F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
             )
         )
-        tf.write.mode("overwrite").parquet(
-            os.path.join(stage_dir, "postings_delta")
-        )
-        tf = spark.read.parquet(os.path.join(stage_dir, "postings_delta"))
+        tf_all.write.mode("overwrite").parquet(p("__tf_all"))
+        tf_all = spark.read.parquet(p("__tf_all"))
 
-        dl = ns.groupBy("doc_id", "section").agg(
-            F.count("*").cast("long").alias("dl")
-        )
-        dl.write.mode("overwrite").parquet(os.path.join(stage_dir, "doclen_delta"))
-        dl = spark.read.parquet(os.path.join(stage_dir, "doclen_delta"))
+        stop = read_table(spark, self.index_dir, "stopwords").select("term")
+        tf_all.join(F.broadcast(stop), "term", "left_anti").write.mode(
+            "overwrite"
+        ).parquet(p("postings_delta"))
+        tf = spark.read.parquet(p("postings_delta"))
 
-        cat_col = self.config.get("category_col")
-        if cat_col is not None:
+        # the independent small jobs overlap (same rationale as the
+        # concurrent build stages: each is driver scheduling + one tiny
+        # shuffle, and sequential execution is the add's Amdahl floor)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from information_retrieval_spark.index.pack import pack_postings
+
+        def s_doclen():
+            # dl = Σ tf of non-stop terms (tokens are unique (term, pos)
+            # pairs, so Σ distinct-offset tf == non-stop token count —
+            # identical to the build's doclen derivation)
+            tf.groupBy("doc_id", "section").agg(
+                F.sum("tf").cast("long").alias("dl")
+            ).write.mode("overwrite").parquet(p("doclen_delta"))
+
+        def s_vocab():
+            # pre-stop-removal distinct terms, from tf_all (not tokens:
+            # that would re-tokenize)
+            tf_all.select("term").distinct().write.mode(
+                "overwrite"
+            ).parquet(p("vocab"))
+
+        def s_term_df():
+            tf.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")
+            ).write.mode("overwrite").parquet(p("term_df"))
+
+        def s_doc_meta():
+            cat_col = self.config.get("category_col")
+            if cat_col is None:
+                return
             # long cast: must match the build-time doc_meta type (WAND's
             # xxhash64 bucketing is type-sensitive); category-partitioned
             # like the build (catalog.read_doc_meta)
@@ -196,46 +227,42 @@ class IndexMaintenance:
                 F.col("doc_id").cast("long").alias("doc_id"),
                 F.col(cat_col).alias("category"),
             ).write.mode("overwrite").partitionBy("category").parquet(
-                os.path.join(stage_dir, "doc_meta_delta")
+                p("doc_meta_delta")
             )
 
-        # the delta's OWN packed segment — pack cost ∝ delta size; the live
-        # packed segments are untouched (LSM append, merged at compact)
-        from information_retrieval_spark.index.pack import pack_postings
+        def s_stats():
+            n = delta.count()
+            st = read_stats_pdf(self.index_dir).copy()
+            st["n_docs"] = st["n_docs"] + n
+            os.makedirs(p("stats"), exist_ok=True)
+            st.to_parquet(os.path.join(p("stats"), "stats.parquet"))
+            return n
 
-        pack_postings(tf, dl, os.path.join(stage_dir, "packed_delta"))
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            f_doclen = ex.submit(s_doclen)
+            f_rest = [
+                ex.submit(fn)
+                for fn in (s_vocab, s_term_df, s_doc_meta)
+            ]
+            f_stats = ex.submit(s_stats)
+            f_doclen.result()  # pack needs the delta doclen
+            # the delta's OWN packed segment — pack cost ∝ delta size; the
+            # live packed segments are untouched (LSM append, merged at
+            # compact)
+            dl = spark.read.parquet(p("doclen_delta"))
+            pack_postings(tf, dl, p("packed_delta"))
+            for f in f_rest:
+                f.result()
+            n_add = f_stats.result()
 
         # per-partition lineage of the delta's tables (append-only log)
         lineage_frame(
             {
                 "postings_flat": tf,
                 "doclen": dl,
-                "packed": spark.read.parquet(
-                    os.path.join(stage_dir, "packed_delta")
-                ),
+                "packed": spark.read.parquet(p("packed_delta")),
             }
-        ).write.mode("overwrite").parquet(
-            os.path.join(stage_dir, "lineage_delta")
-        )
-
-        # term_df / vocab: DELTA-ONLY dirs, merged on read
-        # (catalog.read_term_df sums df across dirs, read_vocab distincts) —
-        # rewriting the merged tables per add would be a vocabulary-sized
-        # write, the one remaining ∝-index cost an add must not pay
-        tf.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("df")
-        ).write.mode("overwrite").parquet(os.path.join(stage_dir, "term_df"))
-        tokens.select("term").distinct().write.mode("overwrite").parquet(
-            os.path.join(stage_dir, "vocab")
-        )
-
-        # stats: n_docs += delta count
-        n_add = delta.count()
-        st = read_stats_pdf(self.index_dir)
-        st = st.copy()
-        st["n_docs"] = st["n_docs"] + n_add
-        os.makedirs(os.path.join(stage_dir, "stats"), exist_ok=True)
-        st.to_parquet(os.path.join(stage_dir, "stats", "stats.parquet"))
+        ).write.mode("overwrite").parquet(p("lineage_delta"))
 
         with open(os.path.join(stage_dir, "_STAGED"), "w") as f:
             json.dump(
