@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="skip manifest-committed stages (checkpoint restart)")
     ap.add_argument("--doc-id-col", default="doc_id")
+    ap.add_argument(
+        "--category-col",
+        default=None,
+        help="corpus column persisted as doc_meta for query-time category"
+        " filtering (e.g. lang)",
+    )
     args = ap.parse_args()
 
     from information_retrieval_spark.index.build import IndexBuilder
@@ -50,6 +56,7 @@ def main() -> None:
         stop_k=args.stop_k,
         doc_id_col=args.doc_id_col,
         n_buckets=args.n_buckets,
+        category_col=args.category_col,
     ).build(corpus, resume=args.resume)
     print(json.dumps({k: v.get("wall_s") for k, v in manifest["stages"].items()}))
 

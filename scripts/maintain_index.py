@@ -1,0 +1,82 @@
+"""spark-submit entry point for index maintenance (snapshot catalog).
+
+Cluster:
+  spark-submit --py-files dist/information_retrieval_spark.zip \\
+      scripts/maintain_index.py --index-dir s3://bucket/idx <command> [...]
+
+Commands:
+  add --delta <parquet>          append a delta corpus as a new LSM segment
+      [--auto-compact N]         merge segments once an add leaves > N
+  remove --doc-ids 1,2,3         logical delete (delete-vector commit)
+  compact                        drop deletes + merge all segments
+  expire [--keep-last N]         drop old snapshots + GC data dirs
+  history                        print the snapshot chain as JSON lines
+
+Sandbox: python scripts/maintain_index.py --index-dir /tmp/idx history
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index-dir", required=True)
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    p_add = sub.add_parser("add")
+    p_add.add_argument("--delta", required=True, help="parquet path of new docs")
+    p_add.add_argument("--auto-compact", type=int, default=None)
+
+    p_rm = sub.add_parser("remove")
+    p_rm.add_argument("--doc-ids", required=True, help="comma list of doc ids")
+
+    sub.add_parser("compact")
+
+    p_exp = sub.add_parser("expire")
+    p_exp.add_argument("--keep-last", type=int, default=2)
+
+    sub.add_parser("history")
+
+    args = ap.parse_args()
+
+    from information_retrieval_spark.index.catalog import Catalog
+
+    if args.command == "history":
+        # metadata-only: no Spark session needed
+        for snap in Catalog(args.index_dir).history():
+            print(json.dumps(snap, sort_keys=True))
+        return
+
+    from information_retrieval_spark.index.maintenance import IndexMaintenance
+    from information_retrieval_spark.session import get_spark
+
+    spark = get_spark("index_maintenance")
+    maint = IndexMaintenance(
+        spark,
+        args.index_dir,
+        auto_compact_segments=getattr(args, "auto_compact", None),
+    )
+    if args.command == "add":
+        n = maint.add_documents(spark.read.parquet(args.delta))
+        out = {"added": n}
+    elif args.command == "remove":
+        ids = [int(x) for x in args.doc_ids.split(",") if x]
+        maint.remove_documents(ids)
+        out = {"removed": len(ids)}
+    elif args.command == "compact":
+        maint.compact()
+        out = {"compacted": True}
+    elif args.command == "expire":
+        out = {"expired_dirs": maint.expire_snapshots(args.keep_last)}
+    print(json.dumps({**out, "version": maint.cat.current_version()}))
+
+
+if __name__ == "__main__":
+    main()
