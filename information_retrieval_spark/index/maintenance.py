@@ -111,24 +111,36 @@ class IndexMaintenance:
             # DIFFERENT crashed add under this batch id would mark the
             # new batch applied while its data was never staged
             self.commit_add(stage, batch_id=batch_id if same else None)
-            shutil.rmtree(stage)
             if same:
+                # auto-compact BEFORE dropping the stage: the frozen stage
+                # is what lets a retry after a failed compact recognize the
+                # delta as already applied (fp dedup) instead of
+                # re-staging it — and the recovered add must honor the
+                # segment bound too, not just fresh adds
+                self._maybe_auto_compact()
+                shutil.rmtree(stage)
                 return int(info["n_add"])
+            shutil.rmtree(stage)
         elif os.path.isdir(stage):
             shutil.rmtree(stage)  # partial stage: no live effects yet
         n_add = self.stage_add(delta, stage)
         self.commit_add(stage, batch_id=batch_id)
+        # amortized merge runs AFTER the add's snapshot landed but BEFORE
+        # the stage is dropped: if compact() dies, the frozen stage (whose
+        # token is already committed — commit_add no-ops on it) keeps the
+        # crash-retry contract intact: the retry dedups on the fingerprint
+        # and re-runs only the compact, never re-applying the delta
+        self._maybe_auto_compact()
         shutil.rmtree(stage)
+        return n_add
+
+    def _maybe_auto_compact(self) -> None:
         if (
             self.auto_compact_segments is not None
             and len(self.cat.table_dirs("packed"))
             > self.auto_compact_segments
         ):
-            # amortized merge: runs AFTER the add's snapshot landed, so a
-            # crash here loses nothing — the add is visible and the next
-            # trigger re-runs the merge
             self.compact()
-        return n_add
 
     def _delta_fp(self, delta: DataFrame) -> str:
         """Order-insensitive content fingerprint of a delta frame."""

@@ -49,7 +49,17 @@ def main() -> None:
     from information_retrieval_spark.index.catalog import Catalog
 
     if args.command == "history":
-        # metadata-only: no Spark session needed
+        # metadata-only: no Spark session needed. Fail loudly on a missing
+        # catalog — silence would be indistinguishable from a healthy
+        # empty history (mistyped path, pre-catalog legacy index).
+        if not Catalog.exists(args.index_dir):
+            print(
+                f"no snapshot catalog under {args.index_dir!r} (wrong"
+                " path, or a pre-catalog index: run any maintenance"
+                " command to bootstrap v1)",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         for snap in Catalog(args.index_dir).history():
             print(json.dumps(snap, sort_keys=True))
         return

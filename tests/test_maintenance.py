@@ -467,3 +467,44 @@ def test_auto_compact_bounds_segments(spark, tmp_path_factory):
     want = _results(SearchEngine(spark, fresh))
     assert _results(SearchEngine(spark, d)) == want
     assert _results(WandEngine(spark, d)) == want
+
+
+def test_failed_auto_compact_keeps_add_exactly_once(
+    spark, tmp_path_factory, monkeypatch
+):
+    """If the amortized auto-compact dies AFTER the add's snapshot
+    landed, the frozen stage must survive so a retry of the same delta
+    dedups on the fingerprint (re-running only the compact) instead of
+    re-applying the delta."""
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("acfail"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d, auto_compact_segments=1)
+    delta = _df(spark, rows[120:])
+
+    def boom():
+        raise RuntimeError("simulated crash during auto-compact")
+
+    monkeypatch.setattr(maint, "compact", boom)
+    with pytest.raises(RuntimeError):
+        maint.add_documents(delta)
+    # the add IS committed (2 segments), the stage is frozen for the retry
+    assert len(table_dirs(d, "packed")) == 2
+    assert IndexMaintenance.is_staged(f"{d}/__stage_add")
+
+    retry = IndexMaintenance(spark, d, auto_compact_segments=1)
+    assert retry.add_documents(delta) == 30  # dedup: applied exactly once
+    assert len(table_dirs(d, "packed")) == 1  # compact re-ran and merged
+
+    fresh = str(tmp_path_factory.mktemp("acfailfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows))
+    assert _results(SearchEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
