@@ -239,6 +239,23 @@ class IndexBuilder:
 
     def build(self, corpus: DataFrame, resume: bool = False) -> dict:
         """Run all stages; with ``resume=True`` skip manifest-committed ones."""
+        # refuse an in-place rebuild over a frozen uncommitted maintenance
+        # stage: the rebuild resets every table, and the stage's later
+        # recovery commit would append old-corpus delta dirs and stale
+        # stats into the rebuilt index (recover or discard the stage first)
+        from information_retrieval_spark.index.maintenance import (
+            unrecovered_stage_names,
+        )
+
+        pending = unrecovered_stage_names(self.index_dir)
+        if pending:
+            raise RuntimeError(
+                f"frozen uncommitted maintenance stage(s) {pending} under"
+                f" {self.index_dir!r} — rebuilding in place would be"
+                " corrupted by their recovery commit; run"
+                " IndexMaintenance.recover_stages() or delete the stage"
+                " dirs first"
+            )
         if resume:
             self._load_manifest()
         t0 = time.time()
@@ -344,11 +361,16 @@ class IndexBuilder:
                     .limit(self.stop_k)
                     .withColumn(
                         "rank",
-                        # global window over the K-row stop list: the
-                        # WindowExec single-partition warning is expected
-                        # and harmless at this size
+                        # rank is assigned AFTER the limit: the top-K is a
+                        # parallel TakeOrderedAndProject over the term
+                        # counts, and only the K surviving rows ever see a
+                        # window. The constant partition key keeps the
+                        # planner from flagging (and treating) this as a
+                        # global all-data window.
                         F.row_number().over(
-                            Window.orderBy(F.desc("cnt"), F.asc("term"))
+                            Window.partitionBy(F.lit(0)).orderBy(
+                                F.desc("cnt"), F.asc("term")
+                            )
                         ),
                     )
                 )

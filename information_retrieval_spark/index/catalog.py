@@ -57,6 +57,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -65,6 +66,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 CATALOG_SUBDIR = "catalog"
 DATA_SUBDIR = "data"
 CURRENT = "CURRENT"
+
+#: strict snapshot-file name — stray files in catalog/ (editor backups,
+#: "v1.json.orig" artifacts) must be IGNORED, not parsed: a ValueError out
+#: of versions() would brick every read path (load/history/table_dirs)
+_SNAPSHOT_RE = re.compile(r"^v(\d+)\.json$")
 
 
 class Catalog:
@@ -104,8 +110,9 @@ class Catalog:
             return []
         out = []
         for fn in os.listdir(self.cat_dir):
-            if fn.startswith("v") and fn.endswith(".json"):
-                v = int(fn[1:-5])
+            m = _SNAPSHOT_RE.match(fn)
+            if m:
+                v = int(m.group(1))
                 if v <= cur:
                     out.append(v)
         return sorted(out)
@@ -281,9 +288,9 @@ class Catalog:
         cur = self.current_version()
         if cur is not None and os.path.isdir(self.cat_dir):
             for fn in list(os.listdir(self.cat_dir)):
-                if fn.startswith("v") and fn.endswith(".json"):
-                    if int(fn[1:-5]) > cur:
-                        os.remove(os.path.join(self.cat_dir, fn))
+                m = _SNAPSHOT_RE.match(fn)
+                if m and int(m.group(1)) > cur:
+                    os.remove(os.path.join(self.cat_dir, fn))
         data_root = os.path.join(self.index_dir, DATA_SUBDIR)
         if not os.path.isdir(data_root):
             return []

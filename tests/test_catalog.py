@@ -146,3 +146,23 @@ def test_stream_high_water_mark_survives_expire(tmp_path):
     assert cat.last_stream_batch() == 7
     cat.expire(keep_last=1)  # drops the snapshot that carried batch 7
     assert cat.last_stream_batch() == 7
+
+
+def test_stray_catalog_files_ignored(tmp_path):
+    """Non-snapshot files in catalog/ (editor backups, .orig artifacts)
+    must be skipped by the strict v{N}.json match — not parsed into a
+    ValueError that bricks every read path."""
+    root = str(tmp_path)
+    _mkdirs(root, "data/t1-a", "data/t1-b")
+    cat = Catalog(root)
+    cat.commit({"t1": ("set", ["data/t1-a"])}, "build")
+    cat.commit({"t1": ("append", ["data/t1-b"])}, "add")
+    for stray in ("v1.json.orig", "vHEAD.json", "v2.json~", "notes.txt"):
+        with open(os.path.join(root, "catalog", stray), "w") as f:
+            f.write("junk")
+    assert [s["version"] for s in cat.history()] == [1, 2]
+    assert len(cat.table_dirs("t1")) == 2
+    cat.sweep_orphans()  # must not choke on (or delete) the stray files
+    for stray in ("v1.json.orig", "vHEAD.json", "v2.json~", "notes.txt"):
+        assert os.path.exists(os.path.join(root, "catalog", stray))
+    assert cat.current_version() == 2

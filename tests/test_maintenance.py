@@ -508,3 +508,79 @@ def test_failed_auto_compact_keeps_add_exactly_once(
     assert _results(SearchEngine(spark, d)) == _results(
         SearchEngine(spark, fresh)
     )
+
+
+def test_compact_and_rebuild_refuse_over_frozen_uncommitted_stage(
+    spark, tmp_path_factory
+):
+    """A frozen stage whose commit never landed carries stats computed
+    against the pre-crash snapshot. compact() would clear the delete
+    vector and then be silently overwritten by the stage's recovery
+    commit ('set' stats), permanently skewing n_docs/idf; an in-place
+    rebuild would later absorb old-corpus delta dirs. Both must refuse
+    until the stage is recovered; recover_stages() converges to the
+    fresh-build answer."""
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("frozguard"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.stage_add(_df(spark, rows[120:]), f"{d}/__stage_add")  # crash here
+
+    with pytest.raises(RuntimeError, match="frozen uncommitted"):
+        maint.compact()
+    with pytest.raises(RuntimeError, match="frozen uncommitted"):
+        IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+            _df(spark, rows)
+        )
+
+    assert maint.recover_stages() == ["__stage_add"]
+    assert maint._unrecovered_stages() == []
+    maint.compact()  # now legal
+
+    fresh = str(tmp_path_factory.mktemp("frozguardfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows))
+    assert _results(SearchEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
+
+
+def test_recover_stages_preserves_stream_batch_id(spark, tmp_path_factory):
+    """Recovering a crashed streaming stage (__stage_batch_<id>) must land
+    the batch id in the snapshot ledger — otherwise the exactly-once
+    check replays the batch on top of its recovered commit."""
+    from information_retrieval_spark.streaming.ingest import batch_applied
+
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("recbatch"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.stage_add(_df(spark, rows[120:]), f"{d}/__stage_batch_7")
+    assert not batch_applied(d, 7)
+    assert maint.recover_stages() == ["__stage_batch_7"]
+    assert batch_applied(d, 7)
+
+
+def test_commit_add_refuses_stale_stage_after_intervening_compact(
+    spark, tmp_path_factory
+):
+    """Belt-and-braces for anything that bypasses the compact guard: a
+    stage staged against catalog version V must not publish if a
+    compact/rebuild snapshot landed after V."""
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("stalestage"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    stage = f"{d}/__stage_add"
+    maint.stage_add(_df(spark, rows[120:]), stage)
+    maint.cat.commit({}, "compact", {"n_removed": 0})  # simulated bypass
+    with pytest.raises(RuntimeError, match="stale"):
+        maint.commit_add(stage)

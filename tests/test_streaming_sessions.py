@@ -203,3 +203,40 @@ def test_state_ttl_purges_idle_users(spark, tmp_path):
     # AFTER the purge, so numbering restarted (without TTL it would be 2,
     # as test_returning_user_keeps_session_numbering shows)
     assert u1 == [(1, 1), (1, 2)]
+
+
+def test_fold_sorts_across_chunk_boundaries():
+    """applyInPandasWithState delivers a group's micro-batch as multiple
+    Arrow chunks; events out of ts order ACROSS chunks must still fold in
+    global ts order (a per-chunk sort would split sessions differently
+    from the batch twin)."""
+    from information_retrieval_spark.streaming.sessions import _fold
+
+    gap = SESSION_GAP_S
+
+    def pdf(ts_seconds):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(pd.Series(ts_seconds), unit="s")}
+        )
+
+    # chunk 1 holds the LATER events; sorted globally these are one
+    # contiguous session, but a per-chunk fold sees 100,101 then 0,1 and
+    # fabricates a session break at the chunk boundary
+    chunks = [pdf([100, 101]), pdf([0, 1])]
+    out_chunked: list = []
+    state_chunked = _fold(7, iter(chunks), None, None, 0, 0, out_chunked)
+
+    out_single: list = []
+    state_single = _fold(7, iter([pdf([0, 1, 100, 101])]),
+                         None, None, 0, 0, out_single)
+    assert out_chunked == out_single
+    assert state_chunked == state_single
+
+    # and a genuine gap across chunks still closes exactly one session
+    chunks = [pdf([3 * gap, 3 * gap + 5]), pdf([0, 5])]
+    out: list = []
+    open_start, last, n_ev, closed = _fold(
+        7, iter(chunks), None, None, 0, 0, out
+    )
+    assert out == [(7, 1, 2, 0, 5)]
+    assert (open_start, last, n_ev, closed) == (3 * gap, 3 * gap + 5, 2, 1)
