@@ -364,11 +364,12 @@ class IndexBuilder:
                         # rank is assigned AFTER the limit: the top-K is a
                         # parallel TakeOrderedAndProject over the term
                         # counts, and only the K surviving rows ever see a
-                        # window. The constant partition key keeps the
-                        # planner from flagging (and treating) this as a
-                        # global all-data window.
+                        # window. The partition key must be NON-foldable:
+                        # Catalyst strips lit(0) from the partition spec
+                        # and the window then plans (and warns) as global;
+                        # cnt*0 is constant-valued but column-dependent.
                         F.row_number().over(
-                            Window.partitionBy(F.lit(0)).orderBy(
+                            Window.partitionBy(F.col("cnt") * 0).orderBy(
                                 F.desc("cnt"), F.asc("term")
                             )
                         ),
@@ -383,11 +384,26 @@ class IndexBuilder:
         stop_terms = [r.term for r in stop_df.collect()]
 
         # stage 4: flat postings = non-stop subset, globally sorted by term
-        # → parquet min/max row-group stats prune query-term lookups
+        # → parquet min/max row-group stats prune query-term lookups.
+        # Every row additionally carries its doc's full {section: dl} map
+        # (``dls``) — the Lucene-norms-style denormalization: query-time
+        # BM25 reads dl AND the per-query avgdl straight off the matched
+        # rows, so scoring needs NO join against the corpus-sized doclen
+        # table (at 10^12 docs that join is the exhaustive path's scale
+        # killer). Map entries are sorted → deterministic file bytes.
         def s_postings():
-            out = postings_all.filter(
-                ~F.col("term").isin(stop_terms)
-            ).repartitionByRange(
+            non_stop = postings_all.filter(~F.col("term").isin(stop_terms))
+            dlmap = (
+                non_stop.groupBy("doc_id", "section")
+                .agg(F.sum("tf").cast("long").alias("dl"))
+                .groupBy("doc_id")
+                .agg(
+                    F.map_from_entries(
+                        F.array_sort(F.collect_list(F.struct("section", "dl")))
+                    ).alias("dls")
+                )
+            )
+            out = non_stop.join(dlmap, "doc_id").repartitionByRange(
                 max(self.spark.sparkContext.defaultParallelism, 8),
                 "term", "section", "doc_id",
             )

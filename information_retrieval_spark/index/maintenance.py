@@ -223,7 +223,25 @@ class IndexMaintenance:
         stop = read_table(spark, self.index_dir, "stopwords").select("term")
         tf_all.join(F.broadcast(stop), "term", "left_anti").write.mode(
             "overwrite"
-        ).parquet(p("postings_delta"))
+        ).parquet(p("__nonstop"))
+        nonstop = spark.read.parquet(p("__nonstop"))
+        # embed the per-doc {section: dl} map on every posting row — same
+        # denormalization as the build's postings_flat (build.py
+        # s_postings): delta docs are new, so the delta-local map is the
+        # doc's complete section-length vector
+        dlmap = (
+            nonstop.groupBy("doc_id", "section")
+            .agg(F.sum("tf").cast("long").alias("dl"))
+            .groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("section", "dl")))
+                ).alias("dls")
+            )
+        )
+        nonstop.join(dlmap, "doc_id").write.mode("overwrite").parquet(
+            p("postings_delta")
+        )
         tf = spark.read.parquet(p("postings_delta"))
 
         # the independent small jobs overlap (same rationale as the

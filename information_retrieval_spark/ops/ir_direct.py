@@ -81,9 +81,11 @@ def q_stop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tokens_view(load_documents(spark, sf_dir))
     top = stop_terms_df(t, STOP_K)
     # rank assigned AFTER the limit (TakeOrderedAndProject does the
-    # parallel top-K); the constant partition key keeps the planner from
-    # flagging this K-row ranking as a global all-data window
-    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("cnt"), F.asc("term"))
+    # parallel top-K); the partition key must be NON-foldable — Catalyst
+    # strips a literal like lit(0) from the partition spec and the K-row
+    # ranking then plans (and warns) as a global all-data window. cnt*0 is
+    # constant-valued but column-dependent, so it survives to WindowExec.
+    w = Window.partitionBy(F.col("cnt") * 0).orderBy(F.desc("cnt"), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "term", "cnt"
     )

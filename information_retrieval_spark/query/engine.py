@@ -164,15 +164,38 @@ class SearchEngine:
         qterms: DataFrame,
         match_mode: str,
         cat: tuple[DataFrame, list[str]] | None = None,
+        qterm_literals: list[str] | None = None,
     ) -> DataFrame:
         """(query_id, qterm, mult, doc_id, section, tf) — tf merged over the
         prefix expansion when match_mode='prefix'. ``cat`` is the optional
         ((query_id, want_cat) table, distinct wanted categories): filtered
         queries are restricted to their category's docs like a per-query
         delete vector — BEFORE the has_exact gate and candidate stats, so
-        the whole query runs against the sub-corpus."""
+        the whole query runs against the sub-corpus.
+
+        ``qterm_literals`` (the batch's distinct query terms, known
+        driver-side) prunes the postings SCAN with literal predicates the
+        broadcast join cannot supply: exact mode pushes In(term, ...),
+        prefix mode an OR of [t, t+MAX) ranges — both land in parquet
+        row-group min/max stats, so the term-sorted postings table is read
+        only around the query's terms (the same trick WandEngine plays
+        with its collected expansions)."""
         cat_df, wanted = cat if cat is not None else (None, [])
-        p = self.postings.select("term", "section", "doc_id", "tf")
+        # dls = the doc's full {section: dl} map embedded at build time
+        # (index/build.py s_postings): scoring reads dl and derives the
+        # per-query avgdl from matched rows alone — no corpus-sized doclen
+        # join anywhere in the query path
+        p = self.postings.select("term", "section", "doc_id", "tf", "dls")
+        if qterm_literals:
+            terms = sorted(set(qterm_literals))
+            if match_mode == "exact":
+                p = p.filter(F.col("term").isin(terms))
+            else:
+                cond = None
+                for t in terms:
+                    c = (F.col("term") >= t) & (F.col("term") < t + MAX_CHAR)
+                    cond = c if cond is None else (cond | c)
+                p = p.filter(cond)
         if self.deleted_df is not None:
             # anti-join the delete vector BEFORE stats: the per-query
             # candidate N/avgdl quirks then recompute over live docs only
@@ -192,9 +215,14 @@ class SearchEngine:
             cond = (self.term_df.term >= qterms.qterm) & (
                 self.term_df.term < F.concat(qterms.qterm, F.lit(MAX_CHAR))
             )
-            expanded = self.term_df.select("term").join(
-                F.broadcast(qterms), cond
-            )
+            dict_terms = self.term_df.select("term")
+            if qterm_literals:
+                rcond = None
+                for t in sorted(set(qterm_literals)):
+                    c = (F.col("term") >= t) & (F.col("term") < t + MAX_CHAR)
+                    rcond = c if rcond is None else (rcond | c)
+                dict_terms = dict_terms.filter(rcond)
+            expanded = dict_terms.join(F.broadcast(qterms), cond)
             m = p.join(F.broadcast(expanded), "term")
         if cat_df is not None:
             if self.doc_meta is None:
@@ -219,16 +247,24 @@ class SearchEngine:
                 )
                 .drop("want_cat", "category")
             )
-        if match_mode != "exact":
-            # is_end gate: the exact term must exist in the (live, category-
-            # restricted) sub-corpus
-            w = Window.partitionBy("query_id", "qterm")
-            m = m.withColumn(
-                "has_exact",
-                F.max((F.col("term") == F.col("qterm")).cast("int")).over(w),
-            ).filter(F.col("has_exact") == 1)
+        if match_mode == "exact":
+            # postings are unique per (term, section, doc_id) and qterms per
+            # (query_id, qterm): the join output is already grouped — the
+            # prefix path's merge aggregation would be a pure no-op shuffle
+            return m.select(
+                "query_id", "qterm", "mult", "doc_id", "section", "tf", "dls"
+            )
+        # is_end gate: the exact term must exist in the (live, category-
+        # restricted) sub-corpus
+        w = Window.partitionBy("query_id", "qterm")
+        m = m.withColumn(
+            "has_exact",
+            F.max((F.col("term") == F.col("qterm")).cast("int")).over(w),
+        ).filter(F.col("has_exact") == 1)
+        # dls is per-doc (identical on every merged row); map columns can't
+        # be group keys, so it rides through as first()
         return m.groupBy("query_id", "qterm", "mult", "doc_id", "section").agg(
-            F.sum("tf").alias("tf")
+            F.sum("tf").alias("tf"), F.first("dls").alias("dls")
         )
 
     def _cat_df(
@@ -249,65 +285,54 @@ class SearchEngine:
         )
         return df, sorted({c for _, c in rows})
 
-    def _prepass_okapi(self, matched: DataFrame):
-        """ONE driver job for the whole batch's candidate stats — per-query
-        N (Q1), per-(query, section) avgdl over candidates with missing
-        sections counted as dl=0 (Q2), and per-(query, qterm) df — as a
-        tagged union, the WAND engine's fused pre-pass (query/wand.py)
-        ported to the exhaustive path: the former cand/nq/avgdl/dfq join
-        stack re-derived the matched stream three times inside one deep
-        DAG, which was the batch-latency floor flagged in round 2.
-        Returns driver dicts (n_cand, avgdl, dfs)."""
-        sec = self.spark.createDataFrame(
-            [(s,) for s in self.sections], ["section"]
+    def _cand_stats(self, matched: DataFrame):
+        """Per-query N + per-(query, section) avgdl (Q1/Q2) from the
+        matched stream ALONE: each row's embedded ``dls`` map supplies the
+        doc's length in EVERY section (missing section ⇒ 0, quirk Q2), so
+        the per-query candidate averages are two chained partial
+        aggregations — no join against the corpus-sized doclen table and
+        no candidates×sections expansion. Both outputs are ≤ |queries|·
+        |sections| rows: AQE broadcast-joins them back into scoring."""
+        cand = matched.groupBy("query_id", "doc_id").agg(
+            F.first("dls").alias("dls")
         )
-        cand = matched.select("query_id", "doc_id").distinct()
-        stats = (
-            cand.crossJoin(F.broadcast(sec))
-            .join(self.doclen, ["doc_id", "section"], "left")
-            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
-            .groupBy("query_id", "section")
-            # cand is distinct, so count(*) per section == |candidates|
-            .agg(F.avg("dl").alias("avgdl"), F.count("*").alias("n"))
+        aggs = [F.count("*").alias("n_cand")] + [
+            F.sum(
+                F.coalesce(F.element_at("dls", F.lit(s)), F.lit(0))
+            ).alias(f"_dlsum_{i}")
+            for i, s in enumerate(self.sections)
+        ]
+        stats = cand.groupBy("query_id").agg(*aggs)
+        pairs = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("section"),
+                    (F.col(f"_dlsum_{i}") / F.col("n_cand")).alias("avgdl"),
+                )
+                for i, s in enumerate(self.sections)
+            ]
         )
-        dfq = matched.groupBy("query_id", "qterm").agg(
-            F.countDistinct("doc_id").alias("df")
+        avgdl = stats.select("query_id", F.explode(pairs).alias("e")).select(
+            "query_id", "e.section", "e.avgdl"
         )
-        pre = stats.select(
-            F.lit("stats").alias("kind"),
-            "query_id",
-            F.col("section").alias("key"),
-            F.col("n").cast("long").alias("v_long"),
-            F.col("avgdl").cast("double").alias("v_double"),
-        ).unionByName(
-            dfq.select(
-                F.lit("df").alias("kind"),
-                "query_id",
-                F.col("qterm").alias("key"),
-                F.col("df").cast("long").alias("v_long"),
-                F.lit(None).cast("double").alias("v_double"),
-            )
-        )
-        n_cand: dict = {}
-        avgdl: dict = {}
-        dfs: dict = {}
-        for r in pre.collect():
-            if r.kind == "stats":
-                n_cand[r.query_id] = r.v_long
-                avgdl[(r.query_id, r.key)] = r.v_double
-            else:
-                dfs[(r.query_id, r.key)] = r.v_long
-        return n_cand, avgdl, dfs
+        nq = stats.select("query_id", "n_cand")
+        return nq, avgdl
 
     def _fuse_rank(
-        self, section_scores: DataFrame, weights_df: DataFrame, ks_df: DataFrame
+        self, contribs: DataFrame, weights_df: DataFrame, ks_df: DataFrame
     ) -> DataFrame:
+        """``contribs`` is per-(query, doc, section, term) scoring rows;
+        Q5's weighted section fusion is linear (Σ_s w_s·Σ_t c = Σ rows
+        w_s·c), so one groupBy(query, doc) replaces the former two-level
+        (query, doc, section) → (query, doc) aggregation — one less
+        exchange per batch. Sections without a weight row drop here (inner
+        join), as the old section-level fuse did."""
         fused = (
-            section_scores.join(
+            contribs.join(
                 F.broadcast(weights_df), ["query_id", "section"], "inner"
             )
             .groupBy("query_id", "doc_id")
-            .agg(F.sum(F.col("s_score") * F.col("w")).alias("score"))
+            .agg(F.sum(F.col("contrib") * F.col("w")).alias("score"))
         )
         w = Window.partitionBy("query_id").orderBy(
             F.desc(F.round("score", 9)), F.asc("doc_id")
@@ -320,34 +345,32 @@ class SearchEngine:
         )
 
     def _score_okapi(self, matched: DataFrame) -> DataFrame:
-        """Pre-pass stats → driver-side idf (Q1 N = |candidates|, exactly
-        `common.py:126`) → a scoring plan whose only non-broadcast join is
-        the doclen lookup: the per-query constants ride in as two tiny
-        literal tables instead of three shuffled aggregate sub-plans."""
-        n_cand, avgdl, dfs = self._prepass_okapi(matched)
-        empty = self.spark.createDataFrame(
-            [], "query_id long, doc_id long, section string, s_score double"
-        )
-        idf_rows = []
-        for (qid, term), df in sorted(dfs.items()):
-            nq = n_cand.get(qid, 0)
-            idf_rows.append(
-                (qid, term, math.log((nq - df + 0.5) / (df + 0.5) + 1.0))
-            )
-        avg_rows = [(qid, s, float(a)) for (qid, s), a in sorted(avgdl.items())]
-        if not idf_rows or not avg_rows:
-            return empty
-        qidf = self.spark.createDataFrame(
-            idf_rows, "query_id long, qterm string, idf double"
-        )
-        qavg = self.spark.createDataFrame(
-            avg_rows, "query_id long, section string, avgdl double"
+        """Fully in-plan BM25 (Q1-Q3): per-query stats are tiny chained
+        aggregations over the term-pruned matched stream, joined back by
+        AQE as broadcasts; dl comes from each row's embedded section-length
+        map. Zero driver collects and zero corpus-sized joins — the plan
+        shape is invariant to corpus size (it scales with the query's
+        posting volume, not with N docs)."""
+        nq, avgdl = self._cand_stats(matched)
+        dfq = matched.groupBy("query_id", "qterm").agg(
+            F.countDistinct("doc_id").alias("df")
         )
         scored = (
-            matched.join(F.broadcast(qidf), ["query_id", "qterm"])
-            .join(F.broadcast(qavg), ["query_id", "section"])
-            .join(self.doclen, ["doc_id", "section"], "left")
-            .withColumn("dl", F.coalesce(F.col("dl"), F.lit(0)))
+            matched.join(dfq, ["query_id", "qterm"])
+            .join(nq, "query_id")
+            .join(avgdl, ["query_id", "section"])
+            .withColumn(
+                "dl",
+                F.coalesce(
+                    F.element_at("dls", F.col("section")), F.lit(0)
+                ),
+            )
+            .withColumn(
+                "idf",
+                F.log(
+                    (F.col("n_cand") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+                ),
+            )
             .withColumn(
                 "contrib",
                 F.col("mult")
@@ -359,9 +382,7 @@ class SearchEngine:
                 ),
             )
         )
-        return scored.groupBy("query_id", "doc_id", "section").agg(
-            F.sum("contrib").alias("s_score")
-        )
+        return scored.select("query_id", "doc_id", "section", "contrib")
 
     def _score_tfidf(self, matched: DataFrame, doc_norm_cosine: bool) -> DataFrame:
         """ltn-lnn / ltc-lnc. ``matched`` must carry a ``q_w`` column (the
@@ -382,9 +403,7 @@ class SearchEngine:
         scored = base.withColumn(
             "contrib", F.col("q_w") * F.col("d_wtf") * F.col("idf") / F.col("dnorm")
         )
-        return scored.groupBy("query_id", "doc_id", "section").agg(
-            F.sum("contrib").alias("s_score")
-        )
+        return scored.select("query_id", "doc_id", "section", "contrib")
 
     # ---------------------------------------------------------------- main
 
@@ -447,13 +466,16 @@ class SearchEngine:
             rows, "query_id long, qterm string, mult int"
         )
         mode = queries[0].match_mode
-        matched = self._matched(qterms, mode, self._cat_df(queries))
-        section_scores = self._score_okapi(matched)
+        matched = self._matched(
+            qterms, mode, self._cat_df(queries),
+            qterm_literals=[t for _, t, _ in rows],
+        )
+        contribs = self._score_okapi(matched)
         weights_df = self._weights_df(queries)
         ks_df = self.spark.createDataFrame(
             [(q.query_id, q.k) for q in queries], "query_id long, k int"
         )
-        return self._fuse_rank(section_scores, weights_df, ks_df)
+        return self._fuse_rank(contribs, weights_df, ks_df)
 
     def _search_tfidf(self, queries: list[QuerySpec], doc_cos: bool) -> DataFrame:
         rows, per_query_tokens = self._qterm_rows(queries)
@@ -493,7 +515,10 @@ class SearchEngine:
             qrows, "query_id long, qterm string, q_w double, df_global double"
         ).withColumn("mult", F.lit(1))
         mode = queries[0].match_mode
-        matched = self._matched(qterms, mode, self._cat_df(queries))
+        matched = self._matched(
+            qterms, mode, self._cat_df(queries),
+            qterm_literals=[t for _, t, *_ in qrows],
+        )
         # re-attach q_w / df_global lost by the groupBy in _matched
         qmeta = qterms.select("query_id", "qterm", "q_w", "df_global")
         matched = matched.join(F.broadcast(qmeta), ["query_id", "qterm"])
@@ -505,12 +530,12 @@ class SearchEngine:
         matched = matched.drop("df_global").join(
             dfq, ["query_id", "qterm"]
         ).withColumnRenamed("df_q", "df_global")
-        section_scores = self._score_tfidf(matched, doc_cos)
+        contribs = self._score_tfidf(matched, doc_cos)
         weights_df = self._weights_df(queries)
         ks_df = self.spark.createDataFrame(
             [(q.query_id, q.k) for q in queries], "query_id long, k int"
         )
-        return self._fuse_rank(section_scores, weights_df, ks_df)
+        return self._fuse_rank(contribs, weights_df, ks_df)
 
     def _weights_df(self, queries: list[QuerySpec]) -> DataFrame:
         wrows = []
