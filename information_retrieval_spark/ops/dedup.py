@@ -32,7 +32,7 @@ DuckDB oracle reproduces bucket assignments bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from information_retrieval_spark.ops.common import portable_hash32, sql_hash32
 
@@ -141,14 +141,16 @@ def minhash_pairs(d: DataFrame, cap: int = MAX_BAND_BUCKET) -> DataFrame:
     """(a, b): LSH candidate pairs — docs sharing ≥1 identical band of 4
     consecutive minhashes, over a (doc_id, text) DataFrame.
 
-    Skew guard: band-bucket sizes are computed first (one agg on the same
-    (band, band_key) grain the self-join shuffles on, so the exchange is
-    reused). Buckets ≤ ``cap`` go through the pair self-join; larger
-    buckets — near-certain duplicate clusters — emit star pairs
-    (bucket-min doc, member) instead, bounding the output at O(|bucket|)
-    and keeping the duplicate cluster connected for downstream
-    verification/union-find. Star pairs keep the a < b orientation since
-    the hub is the bucket minimum.
+    Skew guard: band-bucket sizes and the bucket-min come from ONE window
+    over (band, band_key) — the same grain the pair self-join shuffles on.
+    A window (vs the former aggregate + rejoin) sizes the buckets in a
+    single exchange; co-locating a hot bucket on one task is inherent to
+    ANY per-bucket computation and stays O(|bucket|) rows. Buckets ≤
+    ``cap`` go through the pair self-join; larger buckets — near-certain
+    duplicate clusters — emit star pairs (bucket-min doc, member)
+    instead, bounding the output at O(|bucket|) and keeping the duplicate
+    cluster connected for downstream verification/union-find. Star pairs
+    keep the a < b orientation since the hub is the bucket minimum.
     """
     sig = minhash_signatures(d).withColumn(
         "band", (F.col("hash_id") / (N_HASHES // N_BANDS)).cast("int")
@@ -158,10 +160,10 @@ def minhash_pairs(d: DataFrame, cap: int = MAX_BAND_BUCKET) -> DataFrame:
             F.format_string("%02d:%d", "hash_id", "minhash")
         ))).alias("band_key")
     )
-    bsize = bands.groupBy("band", "band_key").agg(
-        F.count("*").alias("bucket_n"), F.min("doc_id").alias("min_doc")
+    wb = Window.partitionBy("band", "band_key")
+    sized = bands.withColumn("bucket_n", F.count("*").over(wb)).withColumn(
+        "min_doc", F.min("doc_id").over(wb)
     )
-    sized = bands.join(bsize, ["band", "band_key"])
     small = sized.filter(F.col("bucket_n") <= cap).select(
         "doc_id", "band", "band_key"
     )

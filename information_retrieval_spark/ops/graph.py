@@ -129,23 +129,42 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = edges_df(spark, sf_dir).cache()
     nodes = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
     hubs = nodes.select("doc_id", F.lit(1.0).alias("hub"))
+    auth = None
     for _ in range(N_ITERS):
+        # the L2 norms stay IN-PLAN as one-row broadcast cross joins (the
+        # SQL twin's az/hz CTEs): zero scalar driver round-trips per
+        # iteration. Each normalized vector is localCheckpoint-ed — the
+        # norm subplan references its input twice, so without
+        # materialization the plan tree would double per iteration.
         auth = (
             e.join(hubs, e.src == hubs.doc_id)
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
         )
-        anorm = auth.agg(F.sqrt(F.sum(F.col("auth") ** 2)).alias("z")).collect()[0].z
-        auth = auth.select(F.col("dst").alias("adst"), (F.col("auth") / anorm).alias("auth"))
+        anorm = auth.agg(F.sqrt(F.sum(F.col("auth") ** 2)).alias("az"))
+        auth = (
+            auth.crossJoin(F.broadcast(anorm))
+            .select(
+                F.col("dst").alias("adst"),
+                (F.col("auth") / F.col("az")).alias("auth"),
+            )
+            .localCheckpoint()
+        )
         hub = (
             e.join(auth, e.dst == auth.adst)
             .groupBy("src")
             .agg(F.sum("auth").alias("hub"))
         )
-        hnorm = hub.agg(F.sqrt(F.sum(F.col("hub") ** 2)).alias("z")).collect()[0].z
-        hubs = hub.select(F.col("src").alias("doc_id"), (F.col("hub") / hnorm).alias("hub"))
-        hubs = hubs.localCheckpoint()
-        auths = auth.select(F.col("adst").alias("doc_id"), "auth").localCheckpoint()
+        hnorm = hub.agg(F.sqrt(F.sum(F.col("hub") ** 2)).alias("hz"))
+        hubs = (
+            hub.crossJoin(F.broadcast(hnorm))
+            .select(
+                F.col("src").alias("doc_id"),
+                (F.col("hub") / F.col("hz")).alias("hub"),
+            )
+            .localCheckpoint()
+        )
+    auths = auth.select(F.col("adst").alias("doc_id"), "auth")
     out = (
         nodes.join(hubs, "doc_id", "left")
         .join(auths, "doc_id", "left")

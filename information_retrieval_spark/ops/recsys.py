@@ -297,22 +297,25 @@ SQL_USER_KNN_LSH = _sql_user_knn_lsh()
 # --------------------------------------------------- G8 content-based recs
 
 def _likes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, vec_id): deterministic synthetic interactions."""
+    """(user_id, vec_id): deterministic synthetic interactions — each user
+    likes ~V/LIKE_MOD items, vec_id = (u·7919 + j·LIKE_MOD) mod V for
+    j < V//LIKE_MOD, generated by EXPLODING a per-user index sequence.
+    The previous definition cross-joined users × all items and kept a
+    hash residue — a CartesianProduct in every consuming plan, O(U·V) at
+    scale; the explode emits exactly the liked rows (fixture cost ∝
+    |likes|). vec_ids are contiguous 0..V-1 in the fixture tables."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id").distinct()
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id")
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    n_like = max(1, n_vec // LIKE_MOD)
     return (
-        e.crossJoin(v)
-        .withColumn(
-            "h",
-            portable_hash32(
-                F.concat(
-                    F.col("user_id").cast("string"), F.lit("#"),
-                    F.col("vec_id").cast("string"),
-                )
-            ),
+        e.withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(n_like - 1))))
+        .select(
+            "user_id",
+            (
+                (F.col("user_id") * 7919 + F.col("j") * LIKE_MOD) % n_vec
+            ).alias("vec_id"),
         )
-        .filter(F.col("h") % LIKE_MOD == 0)
-        .select("user_id", "vec_id")
+        .distinct()
     )
 
 
@@ -360,11 +363,14 @@ def q_content_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_CONTENT_RECS = f"""
 WITH users AS (SELECT DISTINCT user_id FROM events WHERE user_id < {N_REC_USERS}),
-vecs AS (SELECT vec_id FROM embeddings),
+nn AS (SELECT count(*) AS v, greatest(1, count(*) // {LIKE_MOD}) AS l
+       FROM embeddings),
 likes AS (
-  SELECT u.user_id, v.vec_id
-  FROM users u CROSS JOIN vecs v
-  WHERE {sql_hash32("u.user_id::VARCHAR || '#' || v.vec_id::VARCHAR")} % {LIKE_MOD} = 0
+  SELECT DISTINCT u.user_id,
+         (u.user_id * 7919 + j.j * {LIKE_MOD}) % nn.v AS vec_id
+  FROM users u
+  CROSS JOIN nn
+  JOIN (SELECT vec_id AS j FROM embeddings) j ON j.j < nn.l
 ),
 comp AS (
   SELECT vec_id, (i - 1) AS dim, embedding[i]::DOUBLE AS x
