@@ -1,18 +1,21 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step itself is STUBBED (no image/audio libs in this container):
-``decode_image_stub`` produces a deterministic fake feature vector from the
-bytes. Everything AROUND the stub is real and tested — schema, batch shape,
-partitioning, UDF signature — so swapping in a real decoder (PIL/ffmpeg) is
-a one-function change.
+Image payloads are REAL parseable formats: ``media_table`` synthesizes
+valid 24-bit BMP files and PNG headers (both constructed JVM-side from
+hex-literal expressions — no UDF), and ``decode_bmp_header`` /
+``decode_png_header`` parse width/height/channels back out of the raw
+bytes with pure byte arithmetic, exactly as a real decoder's header pass
+does. Audio/video payloads keep the declared stub (no codec libs in this
+container): ``decode_image_stub`` produces a deterministic fake feature
+vector; swapping in a real decoder (PIL/ffmpeg) is a one-function change
+behind the same schema.
 
 Synthesis: the testdata has no binary tables, so ``media_table`` derives a
-deterministic media table from ``documents`` (payload = utf-8 bytes of the
-text + an md5 "magic" header; width/height from the portable hash). This is
-the pattern a 100 TB image corpus uses: payloads stay opaque bytes end to
-end, metadata columns are queryable/prunable, and per-batch vectorized
-processing never holds more than one Arrow batch of payloads in memory.
+deterministic media table from ``documents``. This is the pattern a 100 TB
+image corpus uses: payloads stay opaque bytes end to end, metadata columns
+are queryable/prunable, and per-batch vectorized processing never holds
+more than one Arrow batch of payloads in memory.
 
 Scale notes: feature extraction is map-only (no shuffle); frame sampling /
 resize parallelize per-row. Partition sizing is governed by
@@ -23,13 +26,17 @@ documented in the README's deployment section.
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F, types as T
+
+from information_retrieval_spark.ops.common import portable_hash32, sql_hash32
 
 FEATURE_DIM = 16
+MAX_DIM = 16  # synthetic image dims in [1, MAX_DIM]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -47,42 +54,166 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("payload_sha256", T.StringType(), False),
+        # decoded header metadata — null for stub-decoded (audio/video) rows
+        T.StructField("dec_width", T.IntegerType(), True),
+        T.StructField("dec_height", T.IntegerType(), True),
+        T.StructField("dec_channels", T.IntegerType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), False),
     ]
 )
 
 
+def _le_hex(c: Column, nbytes: int) -> Column:
+    """Hex string of an int column as ``nbytes`` little-endian bytes."""
+    return F.concat(
+        *[
+            F.format_string(
+                "%02x", F.shiftright(c.cast("long"), 8 * b).bitwiseAND(F.lit(255))
+            )
+            for b in range(nbytes)
+        ]
+    )
+
+
+def _be_hex(c: Column, nbytes: int) -> Column:
+    """Hex string of an int column as ``nbytes`` big-endian bytes."""
+    return F.concat(
+        *[
+            F.format_string(
+                "%02x", F.shiftright(c.cast("long"), 8 * b).bitwiseAND(F.lit(255))
+            )
+            for b in range(nbytes - 1, -1, -1)
+        ]
+    )
+
+
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fake media table derived from documents: payload =
-    b'IMG0' + utf8(text); dims from the doc hash. Binary column stays
-    JVM-side until the decode UDF."""
+    """Deterministic media table derived from documents. Image rows carry
+    REAL image bytes — doc_id % 6 == 0 a complete 24-bit BMP (54-byte
+    header + zeroed, 4-byte-row-padded pixel data), doc_id % 6 == 3 a PNG
+    signature + IHDR chunk followed by the doc text as opaque body — built
+    entirely from JVM-side hex expressions (unhex of format_string), no
+    UDF. Audio/video rows keep the declared b'IMG0' stub payload. Dims are
+    portable-hash-derived in [1, MAX_DIM] so the DuckDB twin reconstructs
+    byte-identical payloads."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select(
+    w = (
+        portable_hash32(F.concat(F.col("doc_id").cast("string"), F.lit("w")))
+        % MAX_DIM + 1
+    ).cast("int")
+    h = (
+        portable_hash32(F.concat(F.col("doc_id").cast("string"), F.lit("h")))
+        % MAX_DIM + 1
+    ).cast("int")
+    # 24-bit BMP rows are padded to 4-byte multiples
+    rowbytes = ((w * 3 + 3) / 4).cast("int") * 4
+    psz = (rowbytes * h).cast("int")
+    bmp_payload = F.unhex(
+        F.concat(
+            F.lit("424d"),                  # 'BM'
+            _le_hex(psz + 54, 4),           # file size
+            F.lit("00000000"),              # reserved
+            F.lit("36000000"),              # pixel data offset = 54
+            F.lit("28000000"),              # BITMAPINFOHEADER size = 40
+            _le_hex(w, 4),
+            _le_hex(h, 4),
+            F.lit("0100"),                  # planes = 1
+            F.lit("1800"),                  # bit count = 24
+            F.lit("00000000"),              # compression = BI_RGB
+            _le_hex(psz, 4),                # image size
+            F.lit("130b0000130b0000"),      # 2835 ppm x/y
+            F.lit("0000000000000000"),      # palette counts
+            F.expr("repeat('00', __psz)"),  # zeroed padded pixel rows
+        )
+    )
+    png_payload = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit("89504e470d0a1a0a"),  # PNG signature
+                F.lit("0000000d"),          # IHDR length = 13
+                F.lit("49484452"),          # 'IHDR'
+                _be_hex(w, 4),
+                _be_hex(h, 4),
+                F.lit("08"),                # bit depth
+                F.lit("02"),                # color type 2 = truecolor RGB
+                F.lit("000000"),            # compression/filter/interlace
+                F.lit("00000000"),          # CRC placeholder
+            )
+        ),
+        F.encode(F.col("text"), "utf-8"),   # opaque body
+    )
+    stub_payload = F.concat(F.lit(b"IMG0"), F.encode(F.col("text"), "utf-8"))
+    return d.withColumn("__psz", psz).select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
         .alias("media_type"),
-        (F.pmod(F.xxhash64("doc_id"), F.lit(1024)) + 64).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("doc_id", "text"), F.lit(768)) + 64)
-        .cast("int")
+        F.when(F.col("doc_id") % 3 == 0, w)
+        .otherwise(
+            (F.pmod(F.xxhash64("doc_id"), F.lit(1024)) + 64).cast("int")
+        )
+        .alias("width"),
+        F.when(F.col("doc_id") % 3 == 0, h)
+        .otherwise(
+            (F.pmod(F.xxhash64("doc_id", "text"), F.lit(768)) + 64).cast("int")
+        )
         .alias("height"),
-        F.concat(
-            F.lit(b"IMG0"), F.encode(F.col("text"), "utf-8")
-        ).alias("payload"),
+        F.when(F.col("doc_id") % 6 == 0, bmp_payload)
+        .when(F.col("doc_id") % 6 == 3, png_payload)
+        .otherwise(stub_payload)
+        .alias("payload"),
     )
+
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type → sample channels (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_bmp_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a BMP file's BITMAPINFOHEADER —
+    pure byte arithmetic, the real decode pass of the format. Raises
+    ValueError on malformed input like any decoder."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bitcount = struct.unpack_from("<H", payload, 28)[0]
+    # negative height = top-down row order; dims are magnitudes
+    return width, abs(height), max(1, bitcount // 8)
+
+
+def decode_png_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a PNG signature + IHDR chunk."""
+    if payload[:8] != PNG_MAGIC or len(payload) < 26 or payload[12:16] != b"IHDR":
+        raise ValueError("not a PNG payload")
+    width, height = struct.unpack_from(">II", payload, 16)
+    colortype = payload[25]
+    if colortype not in _PNG_CHANNELS:
+        raise ValueError(f"bad PNG color type {colortype}")
+    return width, height, _PNG_CHANNELS[colortype]
+
+
+def payload_fingerprint(payload: bytes) -> str:
+    """sha256 hex digest over the UPPERCASE-HEX encoding of the payload.
+
+    Hashing the hex encoding (a bijection of the bytes) instead of the raw
+    bytes keeps the fingerprint engine-portable: DuckDB's sha256() accepts
+    only VARCHAR, and hex(blob) is uppercase in both engines."""
+    return hashlib.sha256(payload.hex().upper().encode()).hexdigest()
 
 
 def decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB decoder: real pipelines call PIL/torchvision here.
 
-    Deterministic fake: FEATURE_DIM floats derived from the sha256 of the
-    payload, scaled to [0, 1). Raises on a malformed header exactly like a
-    real decoder would.
+    Deterministic fake: FEATURE_DIM floats derived from the payload
+    fingerprint, scaled to [0, 1). Raises on a malformed header exactly
+    like a real decoder would.
     """
     if not payload.startswith(b"IMG0"):
         raise ValueError("bad magic: not a fake-image payload")
-    h = hashlib.sha256(payload).digest()
+    h = bytes.fromhex(payload_fingerprint(payload))
     raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4],
                         dtype=np.uint32)
     return (raw % 10_000).astype(np.float32) / 10_000.0
@@ -91,22 +222,46 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
-    One ``mapInPandas`` pass: per batch, vectorized sha256 + stub decode;
-    the payload column is DROPPED from the output (features tables must not
-    carry the raw bytes forward — that's the 100 TB mistake)."""
+    One ``mapInPandas`` pass: per batch, magic-byte dispatch — BMP and PNG
+    payloads get a REAL header decode (dims + channels, leading the
+    FEATURE_DIM vector), anything else the deterministic stub; plus
+    vectorized sha256. The payload column is DROPPED from the output
+    (features tables must not carry the raw bytes forward — that's the
+    100 TB mistake)."""
+
+    def decode_one(p: bytes):
+        """(dec_width, dec_height, dec_channels, features)"""
+        if p[:2] == b"BM":
+            w, h, c = decode_bmp_header(p)
+        elif p[:8] == PNG_MAGIC:
+            w, h, c = decode_png_header(p)
+        else:
+            return None, None, None, decode_image_stub(p)
+        feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+        feats[0], feats[1], feats[2] = w, h, c
+        return w, h, c, feats
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_image_stub(p) for p in pdf["payload"]]
+            dec = [decode_one(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["payload"].str.len().astype("int32"),
                     "payload_sha256": [
-                        hashlib.sha256(p).hexdigest() for p in pdf["payload"]
+                        payload_fingerprint(p) for p in pdf["payload"]
                     ],
-                    "features": feats,
+                    "dec_width": pd.array(
+                        [d[0] for d in dec], dtype="Int32"
+                    ),
+                    "dec_height": pd.array(
+                        [d[1] for d in dec], dtype="Int32"
+                    ),
+                    "dec_channels": pd.array(
+                        [d[2] for d in dec], dtype="Int32"
+                    ),
+                    "features": [d[3] for d in dec],
                 }
             )
 
@@ -150,32 +305,80 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: per-media feature stats over the binary pipeline.
 
-    Value-checkable against DuckDB (SQL_MEDIA_FEATURES) because the stub
-    decoder is a pure function of sha256(payload): the twin re-derives the
-    16 float32 features from the hex digest (LE uint32 % 10000 / 10000,
-    quantized ``::FLOAT`` — verified bit-identical to the numpy float32
-    path for all 10k possible values) and folds them in the same order as
-    ``F.aggregate``'s left fold. A real (non-stub) decoder would drop the
-    oracle back to rows-only — the plumbing being checked here (schema,
-    Arrow batching, payload drop) is decoder-independent."""
+    Image rows are value-checked END TO END: the DuckDB twin reconstructs
+    the same BMP/PNG payload bytes (blob concat of hex literals), then
+    independently re-parses width/height/channels by SLICING THE BLOB's
+    header bytes — two unrelated parsers (Python struct vs SQL byte
+    arithmetic) agreeing on the same binary. Stub (audio/video) rows are
+    checked as before: the twin re-derives the 16 float32 features from
+    the hex digest (LE uint32 % 10000 / 10000, quantized ``::FLOAT`` —
+    bit-identical to the numpy float32 path for all 10k values) folded in
+    ``F.aggregate``'s left-to-right order."""
     feats = extract_features(media_table(spark, sf_dir))
     return feats.select(
         "doc_id",
         "media_type",
         "n_bytes",
         "payload_sha256",
+        "dec_width",
+        "dec_height",
+        "dec_channels",
         F.round(
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum_r"),
     )
 
 
+def _sql_le32(expr: str) -> str:
+    """DuckDB hex string of ``expr`` as 4 little-endian bytes."""
+    e = f"({expr})::BIGINT"
+    return (
+        "format('{:02x}{:02x}{:02x}{:02x}', "
+        f"{e} % 256, ({e} // 256) % 256, ({e} // 65536) % 256,"
+        f" ({e} // 16777216) % 256)"
+    )
+
+
+def _sql_be32(expr: str) -> str:
+    """DuckDB hex string of ``expr`` as 4 big-endian bytes."""
+    e = f"({expr})::BIGINT"
+    return (
+        "format('{:02x}{:02x}{:02x}{:02x}', "
+        f"({e} // 16777216) % 256, ({e} // 65536) % 256, ({e} // 256) % 256,"
+        f" {e} % 256)"
+    )
+
+
+def _sql_blob_byte(blob: str, off: int) -> str:
+    """DuckDB int value of the byte at 0-based ``off`` in a blob."""
+    return f"('0x' || substr(hex({blob}), {2 * off + 1}, 2))::INTEGER"
+
+
+def _sql_blob_le32(blob: str, off: int) -> str:
+    """DuckDB int of the little-endian u32 at 0-based ``off`` in a blob."""
+    return " + ".join(
+        f"{_sql_blob_byte(blob, off + b)} * {256 ** b}" for b in range(4)
+    )
+
+
+def _sql_blob_be32(blob: str, off: int) -> str:
+    """DuckDB int of the big-endian u32 at 0-based ``off`` in a blob."""
+    return " + ".join(
+        f"{_sql_blob_byte(blob, off + b)} * {256 ** (3 - b)}" for b in range(4)
+    )
+
+
 def _sql_media_features() -> str:
-    """DuckDB twin of q_media_features. The digest repeats (h*2)[:64], so
-    features 8..15 equal features 0..7; the fold order (f0..f7, f0..f7)
-    mirrors Spark's left-to-right ``F.aggregate``. Byte k of the digest is
-    hex chars (2k+1, 2k+2); a LE uint32 at offset 4i reverses bytes
-    4i+3..4i."""
+    """DuckDB twin of q_media_features.
+
+    Image rows: the payload blob is reconstructed with the same hex-literal
+    recipe as media_table (BMP: full 54-byte header + zeroed padded pixel
+    rows; PNG: signature + IHDR + text body), then dec_width/height/
+    channels are parsed back by SLICING THE BLOB's header bytes — an
+    independent implementation of the same header layout the Python struct
+    decoder reads. Stub rows: the digest repeats (h*2)[:64], so features
+    8..15 equal features 0..7; the fold order (f0..f7, f0..f7) mirrors
+    Spark's left-to-right ``F.aggregate``."""
     terms = []
     for i in range(8):
         j = 4 * i
@@ -185,19 +388,57 @@ def _sql_media_features() -> str:
         terms.append(
             f"((('0x' || {le_hex})::BIGINT % 10000) / 10000.0)::FLOAT::DOUBLE"
         )
-    fold = " + ".join(["0.0"] + terms + terms)
+    stub_fold = " + ".join(["0.0"] + terms + terms)
+    bmp_hex = (
+        f"'424d' || {_sql_le32('psz + 54')} || '00000000' || '36000000'"
+        f" || '28000000' || {_sql_le32('w')} || {_sql_le32('h')}"
+        " || '0100' || '1800' || '00000000'"
+        f" || {_sql_le32('psz')} || '130b0000130b0000'"
+        " || '0000000000000000' || repeat('00', psz)"
+    )
+    png_hex = (
+        "'89504e470d0a1a0a' || '0000000d' || '49484452'"
+        f" || {_sql_be32('w')} || {_sql_be32('h')}"
+        " || '08' || '02' || '000000' || '00000000'"
+    )
     return f"""
-WITH m AS (
+WITH dims AS (
+  SELECT doc_id, text,
+         ({sql_hash32("doc_id::VARCHAR || 'w'")} % {MAX_DIM} + 1) AS w,
+         ({sql_hash32("doc_id::VARCHAR || 'h'")} % {MAX_DIM} + 1) AS h
+  FROM documents
+),
+geo AS (SELECT *, ((w * 3 + 3) // 4) * 4 * h AS psz FROM dims),
+blobs AS (
+  SELECT doc_id, text, w, h,
+         CASE WHEN doc_id % 6 = 0 THEN unhex({bmp_hex})
+              WHEN doc_id % 6 = 3 THEN unhex({png_hex}) || encode(text)
+              ELSE ('IMG0' || text)::BLOB END AS payload
+  FROM geo
+),
+m AS (
   SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS media_type,
-         (4 + octet_length(encode(text)))::INTEGER AS n_bytes,
-         sha256('IMG0' || text) AS payload_sha256
-  FROM documents
+         octet_length(payload)::INTEGER AS n_bytes,
+         sha256(hex(payload)) AS payload_sha256,
+         CASE WHEN doc_id % 6 = 0 THEN {_sql_blob_le32('payload', 18)}
+              WHEN doc_id % 6 = 3 THEN {_sql_blob_be32('payload', 16)}
+              END::INTEGER AS dec_width,
+         CASE WHEN doc_id % 6 = 0 THEN {_sql_blob_le32('payload', 22)}
+              WHEN doc_id % 6 = 3 THEN {_sql_blob_be32('payload', 20)}
+              END::INTEGER AS dec_height,
+         CASE WHEN doc_id % 6 = 0 THEN {_sql_blob_byte('payload', 28)} // 8
+              WHEN doc_id % 6 = 3 THEN 3
+              END::INTEGER AS dec_channels
+  FROM blobs
 )
 SELECT doc_id, media_type, n_bytes, payload_sha256,
-       round({fold}, 6) AS feat_sum_r
+       dec_width, dec_height, dec_channels,
+       round(CASE WHEN doc_id % 3 = 0
+                  THEN (dec_width + dec_height + dec_channels)::DOUBLE
+                  ELSE {stub_fold} END, 6) AS feat_sum_r
 FROM m
 """
 

@@ -102,6 +102,89 @@ def test_decode_stub_rejects_bad_magic():
         decode_image_stub(b"JPEGnotfake")
 
 
+def _golden_bmp(w, h, bitcount=24, neg_height=False):
+    import struct
+
+    rowbytes = (w * (bitcount // 8) + 3) // 4 * 4
+    psz = rowbytes * h
+    hdr = b"BM" + struct.pack("<IHHI", 54 + psz, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if neg_height else h, 1, bitcount,
+        0, psz, 2835, 2835, 0, 0,
+    )
+    return hdr + dib + b"\x00" * psz
+
+
+def _golden_png(w, h, colortype=2, body=b""):
+    import struct
+
+    from information_retrieval_spark.ops.multimodal import PNG_MAGIC
+
+    return (
+        PNG_MAGIC + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", w, h)
+        + bytes([8, colortype, 0, 0, 0]) + b"\x00" * 4 + body
+    )
+
+
+def test_decode_bmp_png_golden_images():
+    """Header decoders against hand-built known files (real byte layouts:
+    BITMAPINFOHEADER little-endian, PNG IHDR big-endian)."""
+    from information_retrieval_spark.ops.multimodal import (
+        decode_bmp_header,
+        decode_png_header,
+    )
+
+    assert decode_bmp_header(_golden_bmp(3, 2)) == (3, 2, 3)
+    assert decode_bmp_header(_golden_bmp(640, 480)) == (640, 480, 3)
+    # top-down BMP (negative height) and 32-bit BGRA
+    assert decode_bmp_header(_golden_bmp(5, 7, bitcount=32, neg_height=True)) \
+        == (5, 7, 4)
+    assert decode_png_header(_golden_png(7, 5)) == (7, 5, 3)
+    assert decode_png_header(_golden_png(1920, 1080, colortype=6)) \
+        == (1920, 1080, 4)
+    assert decode_png_header(_golden_png(2, 2, body=b"trailing junk")) \
+        == (2, 2, 3)
+    with pytest.raises(ValueError):
+        decode_bmp_header(b"BMshort")
+    with pytest.raises(ValueError):
+        decode_png_header(_golden_bmp(2, 2))
+    with pytest.raises(ValueError):
+        decode_png_header(_golden_png(1, 1, colortype=5))
+
+
+def test_multimodal_real_image_decode_end_to_end(spark):
+    """Image payloads in media_table are REAL BMP/PNG bytes: the Spark
+    pipeline's decoded dims must equal an independent driver-side re-parse
+    of the same payload bytes, and match the table's metadata columns."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.ops import multimodal
+
+    media = multimodal.media_table(spark, SF)
+    imgs = {r.doc_id: r for r in media.filter(
+        F.col("media_type") == "image").collect()}
+    assert imgs, "fixture should contain image rows"
+    feats = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
+    n_bmp = n_png = 0
+    for did, m in imgs.items():
+        f = feats[did]
+        if m.payload[:2] == b"BM":
+            w, h, c = multimodal.decode_bmp_header(bytes(m.payload))
+            n_bmp += 1
+        else:
+            w, h, c = multimodal.decode_png_header(bytes(m.payload))
+            n_png += 1
+        assert (f.dec_width, f.dec_height, f.dec_channels) == (w, h, c)
+        assert (m.width, m.height) == (w, h)
+        assert tuple(f.features[:3]) == (float(w), float(h), float(c))
+    assert n_bmp and n_png, "both real formats should appear"
+    # stub rows carry no decoded dims
+    for did, f in feats.items():
+        if did not in imgs:
+            assert f.dec_width is None and f.dec_channels is None
+
+
 def test_eval_metrics_bounds(spark):
     from information_retrieval_spark.ops import metrics
 
