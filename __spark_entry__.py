@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppr": graph.q_ppr,                           # G1 personalized (phase-3)
         "rank_fusion": graph.q_rank_fusion,           # F11/F12 (phase-3)
         "hits": graph.q_hits,                         # G2
+        "author_hits": graph.q_author_hits,           # G2 bipartite (c34)
         # --- ML parity (G3/G5) ---------------------------------------------
         "naive_bayes": ml.q_naive_bayes,
         "kmeans": ml.q_kmeans,
@@ -154,4 +155,5 @@ def oracle_sql() -> dict[str, str]:
         # per-iteration L2 norm is a one-row scalar CTE cross-join, same
         # unrolling pattern as SQL_PAGERANK:
         "hits": graph.SQL_HITS,
+        "author_hits": graph.SQL_AUTHOR_HITS,
     }

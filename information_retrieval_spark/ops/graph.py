@@ -178,6 +178,118 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+N_AUTHORS_DIV = 5  # synthetic author pool = |docs| / 5
+AUTHORS_PER_PAPER = 2
+
+
+def author_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(author_id, paper_id): deterministic synthetic bipartite authorship
+    graph over documents — paper d is written by authors (d·13 + j·7) mod
+    A for j ∈ {0, 1}, A = max(1, N/5). Pure function of the table,
+    identical in the DuckDB twin."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    n = d.count()
+    na = max(1, n // N_AUTHORS_DIV)
+    authors = F.array(
+        *[(F.col("doc_id") * 13 + j * 7) % na for j in range(AUTHORS_PER_PAPER)]
+    )
+    return d.select(
+        F.explode(authors).alias("author_id"),
+        F.col("doc_id").alias("paper_id"),
+    ).distinct()
+
+
+def q_author_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(author_id, hub_r): the reference's phase-3 author ranking
+    (`ir-phase-3.ipynb:c34:4-51`) — HITS on the bipartite author–paper
+    graph, authors as hubs and papers as authorities, N_ITERS iterations
+    with L2 normalization per step. The reference sorts its author scores
+    via a STRING sort of the numeric score (a display bug that reorders
+    e.g. 0.9 before 0.11); implemented here correct-by-spec (numeric
+    hub score, ties pinned by author_id downstream), documented rather
+    than replicated. Same in-plan one-row-norm + localCheckpoint shape as
+    ``q_hits``; round-7 for the same cross-engine drift reason."""
+    e = author_edges(spark, sf_dir).cache()
+    hubs = e.select("author_id").distinct().withColumn("hub", F.lit(1.0))
+    for _ in range(N_ITERS):
+        auth = (
+            e.join(hubs, "author_id")
+            .groupBy("paper_id")
+            .agg(F.sum("hub").alias("auth"))
+        )
+        anorm = auth.agg(F.sqrt(F.sum(F.col("auth") ** 2)).alias("az"))
+        auth = (
+            auth.crossJoin(F.broadcast(anorm))
+            .select("paper_id", (F.col("auth") / F.col("az")).alias("auth"))
+            .localCheckpoint()
+        )
+        hub = (
+            e.join(auth, "paper_id")
+            .groupBy("author_id")
+            .agg(F.sum("auth").alias("hub"))
+        )
+        hnorm = hub.agg(F.sqrt(F.sum(F.col("hub") ** 2)).alias("hz"))
+        hubs = (
+            hub.crossJoin(F.broadcast(hnorm))
+            .select("author_id", (F.col("hub") / F.col("hz")).alias("hub"))
+            .localCheckpoint()
+        )
+    out = hubs.select("author_id", F.round("hub", 7).alias("hub_r"))
+    e.unpersist()
+    return out
+
+
+def _sql_author_hits() -> str:
+    """DuckDB twin of q_author_hits: N_ITERS unrolled with one-row L2-norm
+    CTEs over the bipartite edges (MATERIALIZED for the same exponential-
+    inlining reason as _sql_hits)."""
+    js = ", ".join(str(j) for j in range(AUTHORS_PER_PAPER))
+    cte = [
+        "nn AS MATERIALIZED (SELECT greatest(1, count(*) // "
+        f"{N_AUTHORS_DIV}) AS na FROM documents)",
+        f"""ae AS MATERIALIZED (
+  SELECT DISTINCT (doc_id * 13 + t.j * 7) % nn.na AS author_id,
+         doc_id AS paper_id
+  FROM documents, nn, unnest([{js}]) AS t(j)
+)""",
+        "h0 AS MATERIALIZED (SELECT DISTINCT author_id, 1.0::DOUBLE AS hub"
+        " FROM ae)",
+    ]
+    for i in range(1, N_ITERS + 1):
+        p = i - 1
+        cte.append(
+            f"a{i} AS MATERIALIZED (SELECT ae.paper_id, sum(h.hub) AS auth"
+            f" FROM ae JOIN h{p} h ON ae.author_id = h.author_id"
+            " GROUP BY ae.paper_id)"
+        )
+        cte.append(
+            f"az{i} AS MATERIALIZED (SELECT sqrt(sum(auth * auth)) AS z FROM a{i})"
+        )
+        cte.append(
+            f"an{i} AS MATERIALIZED"
+            f" (SELECT paper_id, auth / z AS auth FROM a{i} CROSS JOIN az{i})"
+        )
+        cte.append(
+            f"hh{i} AS MATERIALIZED (SELECT ae.author_id, sum(an.auth) AS hub"
+            f" FROM ae JOIN an{i} an ON ae.paper_id = an.paper_id"
+            " GROUP BY ae.author_id)"
+        )
+        cte.append(
+            f"hz{i} AS MATERIALIZED (SELECT sqrt(sum(hub * hub)) AS z FROM hh{i})"
+        )
+        cte.append(
+            f"h{i} AS MATERIALIZED (SELECT author_id, hub / z AS hub"
+            f" FROM hh{i} CROSS JOIN hz{i})"
+        )
+    return (
+        "WITH " + ",\n".join(cte)
+        + f"\nSELECT author_id, round(hub, 7) AS hub_r FROM h{N_ITERS}"
+    )
+
+
+SQL_AUTHOR_HITS = _sql_author_hits()
+
+
 def _sql_hits() -> str:
     """DuckDB twin of q_hits: N_ITERS unrolled, each iteration a grouped
     sum plus a one-row L2-norm CTE (same pattern as SQL_PAGERANK — the

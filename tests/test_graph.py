@@ -88,3 +88,42 @@ def test_hits_l2_normalized(spark):
     # reconstructed norm carries ~sqrt(N)*5e-8 of rounding noise
     assert hub2 == pytest.approx(1.0, rel=1e-5)
     assert auth2 == pytest.approx(1.0, rel=1e-5)
+
+
+def test_author_hits_bipartite(spark):
+    """Bipartite author-paper HITS: hub vector L2-normalized over the
+    author pool; every author in the synthetic graph gets a score; a
+    pure-Python power iteration over the same edges reproduces the hubs
+    (correct-by-spec replacement for the reference's string-sorted
+    output, ir-phase-3.ipynb:c34)."""
+    import math
+
+    from information_retrieval_spark.ops.graph import (
+        AUTHORS_PER_PAPER,
+        N_AUTHORS_DIV,
+        N_ITERS,
+        author_edges,
+        q_author_hits,
+    )
+
+    rows = {r.author_id: r.hub_r for r in q_author_hits(spark, SF).collect()}
+    assert sum(v * v for v in rows.values()) == pytest.approx(1.0, rel=1e-5)
+    edges = {(r.author_id, r.paper_id)
+             for r in author_edges(spark, SF).collect()}
+    authors = {a for a, _ in edges}
+    assert set(rows) == authors
+    # pure-Python twin
+    hub = {a: 1.0 for a in authors}
+    for _ in range(N_ITERS):
+        auth = {}
+        for a, p in edges:
+            auth[p] = auth.get(p, 0.0) + hub[a]
+        z = math.sqrt(sum(v * v for v in auth.values()))
+        auth = {p: v / z for p, v in auth.items()}
+        hub = {}
+        for a, p in edges:
+            hub[a] = hub.get(a, 0.0) + auth[p]
+        z = math.sqrt(sum(v * v for v in hub.values()))
+        hub = {a: v / z for a, v in hub.items()}
+    for a in authors:
+        assert rows[a] == pytest.approx(hub[a], abs=5e-7), a
