@@ -73,9 +73,14 @@ def main() -> None:
         "ann_lsh_topk": similarity.q_ann_lsh_topk,
         "pagerank": graph.q_pagerank,
     }
-    from information_retrieval_spark.ops import engine_entry, events, metrics, ml
-
-    from information_retrieval_spark.ops import recsys
+    from information_retrieval_spark.ops import (
+        engine_entry,
+        events,
+        metrics,
+        ml,
+        multimodal,
+        recsys,
+    )
 
     battery.update(
         {
@@ -88,6 +93,10 @@ def main() -> None:
             "embedding_dups": similarity.q_embedding_dups,
             "user_knn_lsh": recsys.q_user_knn_lsh,
             "plsa_topics": ml.q_plsa_topics,
+            "hits": graph.q_hits,
+            "author_hits": graph.q_author_hits,
+            "content_recs": recsys.q_content_recs,
+            "media_features": multimodal.q_media_features,
         }
     )
     for name, q in battery.items():

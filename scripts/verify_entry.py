@@ -9,6 +9,7 @@ order-insensitive values. Usage::
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -18,7 +19,7 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry_mod
 from information_retrieval_spark.session import get_spark
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
