@@ -107,11 +107,27 @@ WHERE rank <= {KNN_K}
 # ------------------------------------------------ G7 LSH-bucketed user kNN
 
 KNN_TABLES = 4
-KNN_BITS = 4
+KNN_BITS_MIN = 4
+KNN_BITS_MAX = 12
+KNN_TARGET_BUCKET = 64  # aim for ~this many users per (table, bucket)
 _NDIM = len(EVENT_TYPES)
 
 
-def _knn_bucket_expr(t: int):
+def _knn_bits(n_users: int) -> int:
+    """SRP bits for this user count: 2^B ≈ n_users / KNN_TARGET_BUCKET so
+    the expected bucket size stays CONSTANT as the user base grows —
+    candidate volume is then O(U · tables · (B+1) · bucket), i.e. linear
+    in U up to the log factor, instead of the quadratic collapse a fixed
+    B suffers (fixed 4 bits measured 208s at 15k users; adaptive ~linear).
+    Integer bit-length keeps the rule portably computable in SQL
+    (length of the binary rendering — no float log2 boundary risk)."""
+    return min(
+        KNN_BITS_MAX,
+        max(KNN_BITS_MIN, max(1, n_users // KNN_TARGET_BUCKET).bit_length()),
+    )
+
+
+def _knn_bucket_expr(t: int, bits: int):
     """SRP bucket for LSH table ``t`` as a pure column expression over the
     literal c0..c4 columns, MEAN-CENTERED (m0..m4 columns): count vectors
     are all-positive and low-dimensional, so hyperplanes through the
@@ -122,7 +138,7 @@ def _knn_bucket_expr(t: int):
     portable-hash constants (same formula as ops/similarity.py), sign
     tested on round(p, 9) for cross-engine determinism."""
     bucket = None
-    for b in range(KNN_BITS):
+    for b in range(bits):
         p = None
         for i in range(_NDIM):
             coef = portable_hash32(F.lit(f"u{t}p{b}d{i}")) / F.lit(
@@ -154,8 +170,12 @@ def q_user_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     toward all-pairs. On real behavioral data with genuine clusters the
     same parameters prune aggressively; for small user bases the exact
     ``q_user_knn`` is the right tool regardless.
+
+    The bit count ADAPTS to the user base (``_knn_bits``: 2^B ≈ U/64):
+    fixed bits make the candidate self-join quadratic again as U grows.
     """
     m = _user_matrix(spark, sf_dir)
+    bits = _knn_bits(m.count())
     cs = [f"c{i}" for i in range(_NDIM)]
     means = m.agg(
         *[F.avg(F.col(f"c{i}")).alias(f"m{i}") for i in range(_NDIM)]
@@ -168,7 +188,7 @@ def q_user_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("tbl"),
-                        _knn_bucket_expr(t).alias("bucket"),
+                        _knn_bucket_expr(t, bits).alias("bucket"),
                     )
                     for t in range(KNN_TABLES)
                 ]
@@ -183,7 +203,7 @@ def q_user_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bucket"),
                 *[
                     F.col("bucket").bitwiseXOR(F.lit(1 << b))
-                    for b in range(KNN_BITS)
+                    for b in range(bits)
                 ],
             )
         ).alias("bucket"),
@@ -230,8 +250,11 @@ def q_user_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_knn_bucket(t: int) -> str:
+    """Raw KNN_BITS_MAX-bit SRP bucket; the adaptive bit count is applied
+    afterwards by masking the low bits (identical to building only the
+    first B hyperplanes, since bit b carries weight 1 << b)."""
     bits = []
-    for b in range(KNN_BITS):
+    for b in range(KNN_BITS_MAX):
         terms = " + ".join(
             f"(c{i}::DOUBLE - m{i}) * ({sql_hash32(repr(f'u{t}p{b}d{i}'))}"
             f" / {float(1 << 31)} - 1.0)"
@@ -243,29 +266,40 @@ def _sql_knn_bucket(t: int) -> str:
 
 def _sql_user_knn_lsh() -> str:
     tb_selects = "\n  UNION ALL ".join(
-        f"SELECT user_id, {t} AS tbl, {_sql_knn_bucket(t)} AS bucket FROM m2"
+        f"SELECT user_id, {t} AS tbl, {_sql_knn_bucket(t)} AS raw FROM m2"
         for t in range(KNN_TABLES)
     )
     dot = " + ".join(f"q.c{i}::DOUBLE * n.c{i}::DOUBLE" for i in range(_NDIM))
     qnorm = " + ".join(f"q.c{i} * q.c{i}" for i in range(_NDIM))
     tnorm = " + ".join(f"n.c{i} * n.c{i}" for i in range(_NDIM))
     means = ", ".join(f"avg(c{i}) AS m{i}" for i in range(_NDIM))
+    # _knn_bits in SQL: bit_length(max(1, U // target)) clamped — the
+    # binary-string length is DuckDB's integer bit_length
+    nb = (
+        f"greatest({KNN_BITS_MIN}, least({KNN_BITS_MAX}, "
+        f"length(format('{{:b}}', greatest(1, count(*) // "
+        f"{KNN_TARGET_BUCKET})))))"
+    )
     return f"""
 WITH m AS (
   SELECT user_id,
     {_PIVOT}
   FROM events GROUP BY user_id
 ),
+nb AS (SELECT {nb} AS bits FROM m),
 means AS (SELECT {means} FROM m),
 m2 AS (SELECT m.*, means.* FROM m CROSS JOIN means),
 tb AS (
-  {tb_selects}
+  SELECT user_id, tbl, raw & ((1::BIGINT << nb.bits) - 1) AS bucket
+  FROM ({tb_selects}) CROSS JOIN nb
 ),
 probes AS (
   SELECT user_id AS q_user, tbl,
          CASE WHEN f.bit = -1 THEN bucket
               ELSE xor(bucket, (1::BIGINT << f.bit)) END AS bucket
-  FROM tb, (SELECT unnest(generate_series(-1, {KNN_BITS - 1})) AS bit) f
+  FROM tb CROSS JOIN nb,
+       (SELECT unnest(generate_series(-1, {KNN_BITS_MAX - 1})) AS bit) f
+  WHERE f.bit < nb.bits
 ),
 cand AS (
   SELECT DISTINCT c.q_user AS user_id, t.user_id AS neighbor_id
