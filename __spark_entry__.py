@@ -57,6 +57,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "highlight": ir_direct.q_highlight,           # F13 (scan-wide markup)
         "wand_topk": engine_entry.q_wand_topk,        # M2+M5 packed index + WAND
         "spell_correct": engine_entry.q_spell_correct, # F3-F5 + Q7
+        "phrase_topk": ir_direct.q_phrase_topk,       # positional phrase
+        "phrase_index": engine_entry.q_phrase_index,  # same, packed index
+        "prox_topk": ir_direct.q_prox_topk,           # positional proximity
+        "prox_index": engine_entry.q_prox_index,      # same, packed index
         # --- text analysis -------------------------------------------------
         "token_count": textstats.q_token_count,
         "quality": textstats.q_quality,
@@ -118,6 +122,12 @@ def oracle_sql() -> dict[str, str]:
         # WAND over the packed binary index must equal the declarative BM25
         # plan — same logical query, different physical strategy:
         "wand_topk": ir_direct.SQL_BM25_TOPK,
+        "phrase_topk": ir_direct.SQL_PHRASE_TOPK,
+        # phrase over the persisted positional index must equal the
+        # declarative token-position plan — two physical strategies:
+        "phrase_index": ir_direct.SQL_PHRASE_TOPK,
+        "prox_topk": ir_direct.SQL_PROX_TOPK,
+        "prox_index": ir_direct.SQL_PROX_TOPK,
         "spell_correct": engine_entry.SQL_SPELL_CORRECT,
         "token_count": textstats.SQL_TOKEN_COUNT,
         "quality": textstats.SQL_QUALITY,

@@ -85,6 +85,10 @@ def main() -> None:
     battery.update(
         {
             "wand_topk": engine_entry.q_wand_topk,
+            "phrase_topk": ir_direct.q_phrase_topk,
+            "phrase_index": engine_entry.q_phrase_index,
+            "prox_topk": ir_direct.q_prox_topk,
+            "prox_index": engine_entry.q_prox_index,
             "eval_metrics": metrics.q_eval_metrics,
             "event_windows": events.q_event_windows,
             "sessionize": events.q_sessionize,

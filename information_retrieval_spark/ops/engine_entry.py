@@ -185,3 +185,61 @@ SELECT qword, word AS corrected FROM (
   FROM top
 ) WHERE rb = 1
 """
+
+
+# ------------------------------------------------------------------ phrase
+
+def ensure_documents_posindex(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once) the phrase-serving positional index over ``documents``:
+    ``stop_terms=[]`` so postings keep EVERY term's offset set — a
+    stop-filtered index cannot answer phrases containing stop words
+    (query/phrase.py module docstring)."""
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    idx = f"/tmp/ir_docs_posidx_{key}"
+    manifest = os.path.join(idx, "manifest.json")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    builder = IndexBuilder(
+        spark, idx, sections={"body": "text"}, tokenizer="simple",
+        stop_terms=[],
+    )
+    builder.build(docs, resume=os.path.exists(manifest))
+    return idx
+
+
+def q_phrase_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-10 via the PERSISTED positional index
+    (query/phrase.py) — must equal the declarative token-position plan
+    (oracle: SQL_PHRASE_TOPK). Same logical query as ops/ir_direct.
+    q_phrase_topk, different physical strategy: stored offset sets with a
+    pushed In(term) scan instead of a corpus re-tokenize."""
+    from information_retrieval_spark.ops.ir_direct import PHRASE_SET
+    from information_retrieval_spark.query.phrase import phrase_search
+
+    idx = ensure_documents_posindex(spark, sf_dir)
+    out = phrase_search(spark, idx, PHRASE_SET, k=10, tokenizer="simple")
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        "doc_id",
+        "n_occ",
+    )
+
+
+def q_prox_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity top-10 via the persisted positional index
+    (query/phrase.py::proximity_search) — must equal the declarative
+    token-position plan (oracle: SQL_PROX_TOPK)."""
+    from information_retrieval_spark.ops.ir_direct import (
+        PROX_SET,
+        PROX_WINDOW,
+    )
+    from information_retrieval_spark.query.phrase import proximity_search
+
+    idx = ensure_documents_posindex(spark, sf_dir)
+    out = proximity_search(spark, idx, PROX_SET, window=PROX_WINDOW, k=10)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        "doc_id",
+        "n_win",
+    )

@@ -521,3 +521,227 @@ bgs AS (
 )
 SELECT bigram, word, count(*) AS cnt FROM bgs GROUP BY bigram, word
 """
+
+
+# ----------------------------------------------------------- phrase search
+
+# Inline phrase query set (fulltext positional search). q1 repeats a term
+# (overlapping occurrences must each count); q2/q4 are 3-term phrases; q5
+# contains an absent term (zero hits for that query, not an error).
+PHRASE_SET: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "table table"),
+    (2, "fast merge batch"),
+    (3, "window table"),
+    (4, "slow filter value"),
+    (5, "scan zzznotfound"),
+]
+
+
+def phrase_terms_rows() -> list[tuple[int, int, str, int]]:
+    """(query_id, idx, qterm, n_terms) — the phrase token table both the
+    direct plan and the persisted-index engine broadcast."""
+    import re
+
+    rows: list[tuple[int, int, str, int]] = []
+    for qid, text in PHRASE_SET:
+        terms = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        rows.extend((qid, i, w, len(terms)) for i, w in enumerate(terms))
+    return rows
+
+
+def q_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase top-10 per query over token positions (the operation a
+    positional index exists for — the reference stores offset sets per
+    (term, doc) for exactly this, `ui/backend/mir/search/corpus/
+    phase1.py:31-44`, though its UI never ships a phrase operator; this is
+    the fulltext-tier completion of that structure).
+
+    Plan shape: tokens (pos kept) ⨝broadcast phrase-term table → shifted
+    start = pos - idx → ONE hash-agg on (query_id, doc_id, start) counting
+    distinct idx — a full occurrence has all n indices present — → per-doc
+    occurrence count → per-query top-10 window. No stop filter (phrases
+    keep their stop words); overlapping matches each count. The only wide
+    shuffle keys on (query_id, doc_id, start) — doc-grain, skew-free at
+    100 TB; everything else is broadcast or a bounded window.
+    """
+    t = tokens_view(load_documents(spark, sf_dir))
+    qt = spark.createDataFrame(
+        phrase_terms_rows(), "query_id int, idx int, qterm string, n int"
+    )
+    m = t.join(F.broadcast(qt), t.term == qt.qterm).select(
+        "query_id",
+        "doc_id",
+        (F.col("pos") - F.col("idx")).alias("start"),
+        "idx",
+        "n",
+    )
+    occ = (
+        m.groupBy("query_id", "doc_id", "start", "n")
+        .agg(F.countDistinct("idx").alias("nidx"))
+        .filter(F.col("nidx") == F.col("n"))
+    )
+    scored = occ.groupBy("query_id", "doc_id").agg(
+        F.count("*").alias("n_occ")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_occ"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "n_occ")
+    )
+
+
+def _phrase_sql_values() -> str:
+    return ", ".join(
+        f"({qid}, {i}, '{t}', {n})" for qid, i, t, n in phrase_terms_rows()
+    )
+
+
+SQL_TOKENS_POS = """
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+           unnest(range(len(string_split_regex(lower(text), '[^a-z0-9]+'))))
+             AS pos
+    FROM documents
+  ) WHERE term <> ''
+"""
+
+SQL_PHRASE_TOPK = f"""
+WITH toks AS ({SQL_TOKENS_POS}),
+q AS (SELECT * FROM (VALUES {{values}}) v(query_id, idx, qterm, n)),
+hits AS (
+  SELECT q.query_id, t.doc_id, t.pos - q.idx AS start, q.idx, q.n
+  FROM toks t JOIN q ON t.term = q.qterm
+),
+occ AS (
+  SELECT query_id, doc_id, start
+  FROM hits GROUP BY query_id, doc_id, start, n
+  HAVING count(DISTINCT idx) = n
+),
+scored AS (
+  SELECT query_id, doc_id, count(*) AS n_occ FROM occ
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, n_occ FROM (
+  SELECT query_id, doc_id, n_occ,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_occ DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""".replace("{values}", _phrase_sql_values())
+
+
+# -------------------------------------------------------- proximity search
+
+# Distinct-term queries (proximity is co-occurrence, not sequence); q4 has
+# an absent term. Window in token positions.
+PROX_SET: list[tuple[int, str]] = [
+    (0, "hash join"),
+    (1, "merge sort stream"),
+    (2, "window scan filter"),
+    (3, "big vector"),
+    (4, "scan zzznotfound"),
+]
+PROX_WINDOW = 4
+
+
+def q_prox_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proximity top-10: docs where every query term occurs within
+    ±PROX_WINDOW positions of an occurrence of the FIRST term (the
+    anchor); score = number of such anchors (witnesses). The direct twin
+    of `query/phrase.py::proximity_search` (same semantics over raw
+    token ordinals instead of the persisted offset sets).
+
+    Plan: anchor rows equi-joined to other-term rows on (query_id,
+    doc_id) + the window filter — per-doc bounded, never a range join
+    against anything corpus-sized — then two hash-aggs and the per-query
+    top-k window."""
+    t = tokens_view(load_documents(spark, sf_dir))
+    rows = []
+    import re as _re
+
+    for qid, text in PROX_SET:
+        terms = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+        uniq = list(dict.fromkeys(terms))
+        rows.extend((qid, i, w, len(uniq)) for i, w in enumerate(uniq))
+    qt = spark.createDataFrame(
+        rows, "query_id int, idx int, qterm string, n int"
+    )
+    h = t.join(F.broadcast(qt), t.term == qt.qterm).select(
+        "query_id", "doc_id", "idx", "n", "pos"
+    )
+    anchors = h.filter(F.col("idx") == 0).select(
+        "query_id", "doc_id", F.col("pos").alias("anchor"), "n"
+    )
+    others = h.filter(F.col("idx") > 0).select(
+        "query_id", "doc_id", "idx", "pos"
+    )
+    wit = (
+        anchors.join(others, ["query_id", "doc_id"])
+        .filter(F.abs(F.col("pos") - F.col("anchor")) <= PROX_WINDOW)
+        .groupBy("query_id", "doc_id", "anchor", "n")
+        .agg(F.countDistinct("idx").alias("got"))
+        .filter(F.col("got") == F.col("n") - 1)
+        .select("query_id", "doc_id", "anchor")
+    )
+    wit1 = anchors.filter(F.col("n") == 1).select(
+        "query_id", "doc_id", "anchor"
+    )
+    scored = (
+        wit.unionByName(wit1)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count("*").alias("n_win"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n_win"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "n_win")
+    )
+
+
+def _prox_sql_values() -> str:
+    import re as _re
+
+    rows = []
+    for qid, text in PROX_SET:
+        terms = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w]
+        uniq = list(dict.fromkeys(terms))
+        rows.extend((qid, i, w, len(uniq)) for i, w in enumerate(uniq))
+    return ", ".join(f"({qid}, {i}, '{t}', {n})" for qid, i, t, n in rows)
+
+
+SQL_PROX_TOPK = f"""
+WITH toks AS ({SQL_TOKENS_POS}),
+q AS (SELECT * FROM (VALUES {{values}}) v(query_id, idx, qterm, n)),
+h AS (
+  SELECT q.query_id, t.doc_id, q.idx, q.n, t.pos
+  FROM toks t JOIN q ON t.term = q.qterm
+),
+anchors AS (SELECT query_id, doc_id, pos AS anchor, n FROM h WHERE idx = 0),
+others AS (SELECT query_id, doc_id, idx, pos FROM h WHERE idx > 0),
+wit AS (
+  SELECT a.query_id, a.doc_id, a.anchor
+  FROM anchors a
+  JOIN others o ON a.query_id = o.query_id AND a.doc_id = o.doc_id
+  WHERE abs(o.pos - a.anchor) <= {PROX_WINDOW}
+  GROUP BY a.query_id, a.doc_id, a.anchor, a.n
+  HAVING count(DISTINCT o.idx) = a.n - 1
+),
+wit1 AS (SELECT query_id, doc_id, anchor FROM anchors WHERE n = 1),
+witness AS (SELECT * FROM wit UNION ALL SELECT * FROM wit1),
+scored AS (
+  SELECT query_id, doc_id, count(*) AS n_win FROM witness
+  GROUP BY query_id, doc_id
+)
+SELECT query_id, rank, doc_id, n_win FROM (
+  SELECT query_id, doc_id, n_win,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_win DESC, doc_id ASC
+         ) AS rank
+  FROM scored
+) WHERE rank <= {TOP_K}
+""".replace("{values}", _prox_sql_values())
