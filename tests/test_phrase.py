@@ -253,3 +253,39 @@ def test_phrase_refuses_char_offset_index(spark, tmp_path):
     }
     assert got == counts
     assert rows[0].doc_id in got
+
+
+def test_phrase_spans_lsm_segments_after_add(spark, docs_texts, tmp_path):
+    """An incremental add commits a NEW postings segment; phrase search
+    must see matches in both the base and the delta without a compact."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.index.build import IndexBuilder
+    from information_retrieval_spark.index.catalog import table_dirs
+    from information_retrieval_spark.index.maintenance import IndexMaintenance
+    from information_retrieval_spark.query.phrase import phrase_search
+
+    idx = str(tmp_path / "lsm_phrase_idx")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    base = docs.filter(F.col("doc_id") <= max_id // 2)
+    delta = docs.filter(F.col("doc_id") > max_id // 2)
+    IndexBuilder(
+        spark, idx, sections={"body": "text"}, tokenizer="simple",
+        stop_terms=[],
+    ).build(base)
+    IndexMaintenance(spark, idx).add_documents(delta)
+    assert len(table_dirs(idx, "postings_flat")) == 2  # base + delta dirs
+
+    phrase = "hash join"
+    want = _brute_phrase_counts(docs_texts, phrase)
+    got = {
+        r.doc_id: r.n_occ
+        for r in phrase_search(
+            spark, idx, [(0, phrase)], k=len(docs_texts) + 1
+        ).collect()
+    }
+    assert got == want
+    assert any(d <= max_id // 2 for d in got) and any(
+        d > max_id // 2 for d in got
+    ), "phrase hits must span both segments"
