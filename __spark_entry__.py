@@ -61,6 +61,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_index": engine_entry.q_phrase_index,  # same, packed index
         "prox_topk": ir_direct.q_prox_topk,           # positional proximity
         "prox_index": engine_entry.q_prox_index,      # same, packed index
+        "bool_topk": ir_direct.q_bool_topk,           # must/should/must-not
+        "bool_index": engine_entry.q_bool_index,      # same, packed index
         # --- text analysis -------------------------------------------------
         "token_count": textstats.q_token_count,
         "quality": textstats.q_quality,
@@ -128,6 +130,10 @@ def oracle_sql() -> dict[str, str]:
         "phrase_index": ir_direct.SQL_PHRASE_TOPK,
         "prox_topk": ir_direct.SQL_PROX_TOPK,
         "prox_index": ir_direct.SQL_PROX_TOPK,
+        "bool_topk": ir_direct.SQL_BOOL_TOPK,
+        # boolean over the persisted index must equal the declarative
+        # token plan — two physical strategies, one oracle:
+        "bool_index": ir_direct.SQL_BOOL_TOPK,
         "spell_correct": engine_entry.SQL_SPELL_CORRECT,
         "token_count": textstats.SQL_TOKEN_COUNT,
         "quality": textstats.SQL_QUALITY,

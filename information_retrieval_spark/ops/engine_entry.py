@@ -243,3 +243,21 @@ def q_prox_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_win",
     )
+
+
+def q_bool_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean must/should/must-not retrieval via the PERSISTED index
+    (query/boolean.py) — must equal the declarative token plan (oracle:
+    SQL_BOOL_TOPK). Served from the stop_terms=[] positional index so no
+    query term can be silently absent."""
+    from information_retrieval_spark.ops.ir_direct import BOOL_QUERY_SET, TOP_K
+    from information_retrieval_spark.query.boolean import boolean_search
+
+    idx = ensure_documents_posindex(spark, sf_dir)
+    out = boolean_search(spark, idx, BOOL_QUERY_SET, k=TOP_K)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        "doc_id",
+        "n_should",
+    )

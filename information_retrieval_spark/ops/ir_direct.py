@@ -745,3 +745,114 @@ SELECT query_id, rank, doc_id, n_win FROM (
   FROM scored
 ) WHERE rank <= {TOP_K}
 """.replace("{values}", _prox_sql_values())
+
+
+# -------------------------------------------------- boolean retrieval
+
+# (query_id, must, should, must_not) — beyond-reference fulltext feature
+# (the reference ranks OR-unions only; every serious fulltext index also
+# answers must/should/must-not). Semantics: a doc qualifies iff it contains
+# EVERY must term, NO must_not term, and (when the must list is empty) at
+# least one should term; score = number of DISTINCT should terms present,
+# rank by (n_should desc, doc_id asc), top-K per query. q5's absent must
+# term proves the empty-result path.
+BOOL_QUERY_SET: list[tuple[int, str, str, str]] = [
+    (0, "hash join", "stream merge", ""),
+    (1, "window", "aggregate scan sort", "hash"),
+    (2, "", "merge sort stream", "table"),
+    (3, "data row", "", "join"),
+    (4, "group", "order line column", "zzznotfound"),
+    (5, "zzznotfound", "batch", ""),
+]
+
+
+def bool_spec_rows() -> list[tuple[int, str, str, int]]:
+    """(query_id, term, role, n_must) rows; terms deduped per role, and a
+    term listed in several roles keeps each (same as any boolean engine —
+    must+must_not on one term simply never matches)."""
+    import re as _re
+
+    def toks(s: str) -> list[str]:
+        return list(
+            dict.fromkeys(w for w in _re.split(r"[^a-z0-9]+", s.lower()) if w)
+        )
+
+    rows: list[tuple[int, str, str, int]] = []
+    for qid, must, should, nots in BOOL_QUERY_SET:
+        m = toks(must)
+        for t in m:
+            rows.append((qid, t, "must", len(m)))
+        for t in toks(should):
+            rows.append((qid, t, "should", len(m)))
+        for t in toks(nots):
+            rows.append((qid, t, "not", len(m)))
+    return rows
+
+
+def q_bool_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean must/should/must-not retrieval as ONE declarative plan.
+
+    Plan shape: tokens → distinct (doc_id, term) hash-agg → broadcast-join
+    the tiny role spec → one doc-grain hash-agg counting hits per role →
+    qualification filter in codegen → per-query top-K window. The only
+    wide shuffle keys on doc_id; postings for non-query terms are pruned
+    at the join. At 100 TB this is the same shape as q_candidates.
+    """
+    dt = (
+        tokens_view(load_documents(spark, sf_dir))
+        .select("doc_id", "term")
+        .distinct()
+    )
+    spec = spark.createDataFrame(
+        bool_spec_rows(), "query_id int, term string, role string, n_must int"
+    )
+    m = dt.join(F.broadcast(spec), "term")
+    agg = m.groupBy("query_id", "doc_id", "n_must").agg(
+        F.count(F.when(F.col("role") == "must", 1)).alias("must_hit"),
+        F.count(F.when(F.col("role") == "should", 1)).alias("n_should"),
+        F.count(F.when(F.col("role") == "not", 1)).alias("not_hit"),
+    )
+    ok = agg.filter(
+        (F.col("must_hit") == F.col("n_must"))
+        & (F.col("not_hit") == 0)
+        & ((F.col("n_must") > 0) | (F.col("n_should") > 0))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_should"), F.asc("doc_id")
+    )
+    return (
+        ok.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "rank", "doc_id", "n_should")
+    )
+
+
+def _bool_sql_values() -> str:
+    return ", ".join(
+        f"({qid}, '{t}', '{role}', {n})" for qid, t, role, n in bool_spec_rows()
+    )
+
+
+SQL_BOOL_TOPK = f"""
+WITH dt AS (SELECT DISTINCT doc_id, term FROM ({SQL_TOKENS})),
+spec AS (
+  SELECT * FROM (VALUES {{values}}) s(query_id, term, role, n_must)
+),
+agg AS (
+  SELECT query_id, doc_id, n_must,
+         count(CASE WHEN role = 'must' THEN 1 END) AS must_hit,
+         count(CASE WHEN role = 'should' THEN 1 END) AS n_should,
+         count(CASE WHEN role = 'not' THEN 1 END) AS not_hit
+  FROM dt JOIN spec USING (term)
+  GROUP BY query_id, doc_id, n_must
+)
+SELECT query_id, rank, doc_id, n_should FROM (
+  SELECT query_id, doc_id, n_should,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY n_should DESC, doc_id ASC
+         ) AS rank
+  FROM agg
+  WHERE must_hit = n_must AND not_hit = 0
+    AND (n_must > 0 OR n_should > 0)
+) WHERE rank <= {TOP_K}
+""".replace("{values}", _bool_sql_values())
