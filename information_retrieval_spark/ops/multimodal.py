@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-Image payloads are REAL parseable formats: ``media_table`` synthesizes
-valid 24-bit BMP files and PNG headers (both constructed JVM-side from
-hex-literal expressions — no UDF), and ``decode_bmp_header`` /
-``decode_png_header`` parse width/height/channels back out of the raw
-bytes with pure byte arithmetic, exactly as a real decoder's header pass
-does. Audio/video payloads keep the declared stub (no codec libs in this
+Image and (half the) audio payloads are REAL parseable formats:
+``media_table`` synthesizes valid 24-bit BMP files, PNG headers, and PCM
+WAV files (all constructed JVM-side from hex-literal expressions — no
+UDF), and ``decode_bmp_header`` / ``decode_png_header`` /
+``decode_wav_header`` parse width/height/channels (resp. channels/
+sample-rate/bit-depth) back out of the raw bytes with pure byte
+arithmetic, exactly as a real decoder's header pass does. Remaining
+audio/video payloads keep the declared stub (no codec libs in this
 container): ``decode_image_stub`` produces a deterministic fake feature
 vector; swapping in a real decoder (PIL/ffmpeg) is a one-function change
 behind the same schema.
@@ -54,10 +56,14 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_type", T.StringType(), False),
         T.StructField("n_bytes", T.IntegerType(), False),
         T.StructField("payload_sha256", T.StringType(), False),
-        # decoded header metadata — null for stub-decoded (audio/video) rows
+        # decoded header metadata — null where the format doesn't carry it
+        # (images: width/height/channels; WAV: channels/sample-rate/bits;
+        # stub-decoded rows: all null)
         T.StructField("dec_width", T.IntegerType(), True),
         T.StructField("dec_height", T.IntegerType(), True),
         T.StructField("dec_channels", T.IntegerType(), True),
+        T.StructField("dec_sample_rate", T.IntegerType(), True),
+        T.StructField("dec_bits", T.IntegerType(), True),
         T.StructField("features", T.ArrayType(T.FloatType()), False),
     ]
 )
@@ -91,11 +97,13 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from documents. Image rows carry
     REAL image bytes — doc_id % 6 == 0 a complete 24-bit BMP (54-byte
     header + zeroed, 4-byte-row-padded pixel data), doc_id % 6 == 3 a PNG
-    signature + IHDR chunk followed by the doc text as opaque body — built
-    entirely from JVM-side hex expressions (unhex of format_string), no
-    UDF. Audio/video rows keep the declared b'IMG0' stub payload. Dims are
-    portable-hash-derived in [1, MAX_DIM] so the DuckDB twin reconstructs
-    byte-identical payloads."""
+    signature + IHDR chunk followed by the doc text as opaque body — and
+    doc_id % 6 == 1 audio rows a complete PCM WAV (44-byte RIFF/fmt/data
+    header + the doc text as sample data) — all built entirely from
+    JVM-side hex expressions (unhex of format_string), no UDF. Remaining
+    audio/video rows keep the declared b'IMG0' stub payload. Dims /
+    channel counts / sample rates are portable-hash-derived so the DuckDB
+    twin reconstructs byte-identical payloads."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = (
         portable_hash32(F.concat(F.col("doc_id").cast("string"), F.lit("w")))
@@ -142,6 +150,41 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.encode(F.col("text"), "utf-8"),   # opaque body
     )
+    # PCM WAV: hash-derived channels (1-2) and sample rate (8/16/24/32/40
+    # kHz), fixed 16-bit depth; the doc text is the opaque sample data.
+    wc = (
+        portable_hash32(F.concat(F.col("doc_id").cast("string"), F.lit("c")))
+        % 2 + 1
+    ).cast("int")
+    wsr = (
+        (
+            portable_hash32(
+                F.concat(F.col("doc_id").cast("string"), F.lit("r"))
+            )
+            % 5 + 1
+        ) * 8000
+    ).cast("int")
+    dsz = F.length(F.encode(F.col("text"), "utf-8"))
+    wav_payload = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit("52494646"),            # 'RIFF'
+                _le_hex(dsz + 36, 4),         # chunk size = 36 + data size
+                F.lit("57415645"),            # 'WAVE'
+                F.lit("666d7420"),            # 'fmt '
+                F.lit("10000000"),            # fmt chunk size = 16
+                F.lit("0100"),                # audio format 1 = PCM
+                _le_hex(wc, 2),               # channels
+                _le_hex(wsr, 4),              # sample rate
+                _le_hex(wsr * wc * 2, 4),     # byte rate
+                _le_hex(wc * 2, 2),           # block align
+                F.lit("1000"),                # bits per sample = 16
+                F.lit("64617461"),            # 'data'
+                _le_hex(dsz, 4),              # data size
+            )
+        ),
+        F.encode(F.col("text"), "utf-8"),
+    )
     stub_payload = F.concat(F.lit(b"IMG0"), F.encode(F.col("text"), "utf-8"))
     return d.withColumn("__psz", psz).select(
         "doc_id",
@@ -161,6 +204,7 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("height"),
         F.when(F.col("doc_id") % 6 == 0, bmp_payload)
         .when(F.col("doc_id") % 6 == 3, png_payload)
+        .when(F.col("doc_id") % 6 == 1, wav_payload)
         .otherwise(stub_payload)
         .alias("payload"),
     )
@@ -195,6 +239,25 @@ def decode_png_header(payload: bytes) -> tuple[int, int, int]:
     return width, height, _PNG_CHANNELS[colortype]
 
 
+def decode_wav_header(payload: bytes) -> tuple[int, int, int]:
+    """(channels, sample_rate, bits_per_sample) from a RIFF/WAVE file's
+    canonical 44-byte header — pure byte arithmetic, the real decode pass
+    of the format. Raises ValueError on malformed input like any decoder.
+    Assumes the canonical layout ('fmt ' first chunk at offset 12), which
+    is what every PCM encoder emits."""
+    if (
+        payload[:4] != b"RIFF"
+        or len(payload) < 44
+        or payload[8:12] != b"WAVE"
+        or payload[12:16] != b"fmt "
+    ):
+        raise ValueError("not a WAV payload")
+    channels = struct.unpack_from("<H", payload, 22)[0]
+    sample_rate = struct.unpack_from("<I", payload, 24)[0]
+    bits = struct.unpack_from("<H", payload, 34)[0]
+    return channels, sample_rate, bits
+
+
 def payload_fingerprint(payload: bytes) -> str:
     """sha256 hex digest over the UPPERCASE-HEX encoding of the payload.
 
@@ -222,24 +285,29 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
-    One ``mapInPandas`` pass: per batch, magic-byte dispatch — BMP and PNG
-    payloads get a REAL header decode (dims + channels, leading the
-    FEATURE_DIM vector), anything else the deterministic stub; plus
-    vectorized sha256. The payload column is DROPPED from the output
-    (features tables must not carry the raw bytes forward — that's the
-    100 TB mistake)."""
+    One ``mapInPandas`` pass: per batch, magic-byte dispatch — BMP, PNG
+    and WAV payloads get a REAL header decode (dims/channels resp.
+    channels/sample-rate/bits, leading the FEATURE_DIM vector), anything
+    else the deterministic stub; plus vectorized sha256. The payload
+    column is DROPPED from the output (features tables must not carry the
+    raw bytes forward — that's the 100 TB mistake)."""
 
     def decode_one(p: bytes):
-        """(dec_width, dec_height, dec_channels, features)"""
+        """(dec_width, dec_height, dec_channels, dec_sample_rate,
+        dec_bits, features)"""
+        feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+        if p[:4] == b"RIFF":
+            c, sr, bits = decode_wav_header(p)
+            feats[0], feats[1], feats[2] = c, sr, bits
+            return None, None, c, sr, bits, feats
         if p[:2] == b"BM":
             w, h, c = decode_bmp_header(p)
         elif p[:8] == PNG_MAGIC:
             w, h, c = decode_png_header(p)
         else:
-            return None, None, None, decode_image_stub(p)
-        feats = np.zeros(FEATURE_DIM, dtype=np.float32)
+            return None, None, None, None, None, decode_image_stub(p)
         feats[0], feats[1], feats[2] = w, h, c
-        return w, h, c, feats
+        return w, h, c, None, None, feats
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -261,7 +329,13 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "dec_channels": pd.array(
                         [d[2] for d in dec], dtype="Int32"
                     ),
-                    "features": [d[3] for d in dec],
+                    "dec_sample_rate": pd.array(
+                        [d[3] for d in dec], dtype="Int32"
+                    ),
+                    "dec_bits": pd.array(
+                        [d[4] for d in dec], dtype="Int32"
+                    ),
+                    "features": [d[5] for d in dec],
                 }
             )
 
@@ -305,11 +379,12 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver entry: per-media feature stats over the binary pipeline.
 
-    Image rows are value-checked END TO END: the DuckDB twin reconstructs
-    the same BMP/PNG payload bytes (blob concat of hex literals), then
-    independently re-parses width/height/channels by SLICING THE BLOB's
-    header bytes — two unrelated parsers (Python struct vs SQL byte
-    arithmetic) agreeing on the same binary. Stub (audio/video) rows are
+    Image and WAV rows are value-checked END TO END: the DuckDB twin
+    reconstructs the same BMP/PNG/WAV payload bytes (blob concat of hex
+    literals), then independently re-parses width/height/channels (resp.
+    channels/sample-rate/bits) by SLICING THE BLOB's header bytes — two
+    unrelated parsers (Python struct vs SQL byte arithmetic) agreeing on
+    the same binary. Stub (remaining audio/video) rows are
     checked as before: the twin re-derives the 16 float32 features from
     the hex digest (LE uint32 % 10000 / 10000, quantized ``::FLOAT`` —
     bit-identical to the numpy float32 path for all 10k values) folded in
@@ -323,6 +398,8 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dec_width",
         "dec_height",
         "dec_channels",
+        "dec_sample_rate",
+        "dec_bits",
         F.round(
             F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6
         ).alias("feat_sum_r"),
@@ -349,6 +426,12 @@ def _sql_be32(expr: str) -> str:
     )
 
 
+def _sql_le16(expr: str) -> str:
+    """DuckDB hex string of ``expr`` as 2 little-endian bytes."""
+    e = f"({expr})::BIGINT"
+    return f"format('{{:02x}}{{:02x}}', {e} % 256, ({e} // 256) % 256)"
+
+
 def _sql_blob_byte(blob: str, off: int) -> str:
     """DuckDB int value of the byte at 0-based ``off`` in a blob."""
     return f"('0x' || substr(hex({blob}), {2 * off + 1}, 2))::INTEGER"
@@ -368,15 +451,24 @@ def _sql_blob_be32(blob: str, off: int) -> str:
     )
 
 
+def _sql_blob_le16(blob: str, off: int) -> str:
+    """DuckDB int of the little-endian u16 at 0-based ``off`` in a blob."""
+    return (
+        f"{_sql_blob_byte(blob, off)} + {_sql_blob_byte(blob, off + 1)} * 256"
+    )
+
+
 def _sql_media_features() -> str:
     """DuckDB twin of q_media_features.
 
-    Image rows: the payload blob is reconstructed with the same hex-literal
-    recipe as media_table (BMP: full 54-byte header + zeroed padded pixel
-    rows; PNG: signature + IHDR + text body), then dec_width/height/
-    channels are parsed back by SLICING THE BLOB's header bytes — an
-    independent implementation of the same header layout the Python struct
-    decoder reads. Stub rows: the digest repeats (h*2)[:64], so features
+    Image/WAV rows: the payload blob is reconstructed with the same
+    hex-literal recipe as media_table (BMP: full 54-byte header + zeroed
+    padded pixel rows; PNG: signature + IHDR + text body; WAV: 44-byte
+    RIFF/fmt/data header + text body), then dec_width/height/channels
+    (resp. dec_channels/sample_rate/bits) are parsed back by SLICING THE
+    BLOB's header bytes — an independent implementation of the same header
+    layout the Python struct decoder reads. Stub rows: the digest repeats
+    (h*2)[:64], so features
     8..15 equal features 0..7; the fold order (f0..f7, f0..f7) mirrors
     Spark's left-to-right ``F.aggregate``."""
     terms = []
@@ -401,11 +493,20 @@ def _sql_media_features() -> str:
         f" || {_sql_be32('w')} || {_sql_be32('h')}"
         " || '08' || '02' || '000000' || '00000000'"
     )
+    wav_hex = (
+        f"'52494646' || {_sql_le32('dsz + 36')} || '57415645' || '666d7420'"
+        f" || '10000000' || '0100' || {_sql_le16('wc')} || {_sql_le32('wsr')}"
+        f" || {_sql_le32('wsr * wc * 2')} || {_sql_le16('wc * 2')}"
+        f" || '1000' || '64617461' || {_sql_le32('dsz')}"
+    )
     return f"""
 WITH dims AS (
   SELECT doc_id, text,
          ({sql_hash32("doc_id::VARCHAR || 'w'")} % {MAX_DIM} + 1) AS w,
-         ({sql_hash32("doc_id::VARCHAR || 'h'")} % {MAX_DIM} + 1) AS h
+         ({sql_hash32("doc_id::VARCHAR || 'h'")} % {MAX_DIM} + 1) AS h,
+         ({sql_hash32("doc_id::VARCHAR || 'c'")} % 2 + 1) AS wc,
+         (({sql_hash32("doc_id::VARCHAR || 'r'")} % 5 + 1) * 8000) AS wsr,
+         octet_length(encode(text)) AS dsz
   FROM documents
 ),
 geo AS (SELECT *, ((w * 3 + 3) // 4) * 4 * h AS psz FROM dims),
@@ -413,6 +514,7 @@ blobs AS (
   SELECT doc_id, text, w, h,
          CASE WHEN doc_id % 6 = 0 THEN unhex({bmp_hex})
               WHEN doc_id % 6 = 3 THEN unhex({png_hex}) || encode(text)
+              WHEN doc_id % 6 = 1 THEN unhex({wav_hex}) || encode(text)
               ELSE ('IMG0' || text)::BLOB END AS payload
   FROM geo
 ),
@@ -431,13 +533,20 @@ m AS (
               END::INTEGER AS dec_height,
          CASE WHEN doc_id % 6 = 0 THEN {_sql_blob_byte('payload', 28)} // 8
               WHEN doc_id % 6 = 3 THEN 3
-              END::INTEGER AS dec_channels
+              WHEN doc_id % 6 = 1 THEN {_sql_blob_le16('payload', 22)}
+              END::INTEGER AS dec_channels,
+         CASE WHEN doc_id % 6 = 1 THEN {_sql_blob_le32('payload', 24)}
+              END::INTEGER AS dec_sample_rate,
+         CASE WHEN doc_id % 6 = 1 THEN {_sql_blob_le16('payload', 34)}
+              END::INTEGER AS dec_bits
   FROM blobs
 )
 SELECT doc_id, media_type, n_bytes, payload_sha256,
-       dec_width, dec_height, dec_channels,
+       dec_width, dec_height, dec_channels, dec_sample_rate, dec_bits,
        round(CASE WHEN doc_id % 3 = 0
                   THEN (dec_width + dec_height + dec_channels)::DOUBLE
+                  WHEN doc_id % 6 = 1
+                  THEN (dec_channels + dec_sample_rate + dec_bits)::DOUBLE
                   ELSE {stub_fold} END, 6) AS feat_sum_r
 FROM m
 """

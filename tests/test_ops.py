@@ -179,10 +179,70 @@ def test_multimodal_real_image_decode_end_to_end(spark):
         assert (m.width, m.height) == (w, h)
         assert tuple(f.features[:3]) == (float(w), float(h), float(c))
     assert n_bmp and n_png, "both real formats should appear"
-    # stub rows carry no decoded dims
+    # non-image rows carry no decoded dims; WAV audio rows DO carry
+    # decoded channels/sample-rate/bits, stub rows carry none
+    n_wav = 0
     for did, f in feats.items():
         if did not in imgs:
-            assert f.dec_width is None and f.dec_channels is None
+            assert f.dec_width is None and f.dec_height is None
+            if did % 6 == 1:
+                n_wav += 1
+                assert f.dec_channels in (1, 2)
+                assert f.dec_sample_rate in range(8000, 40001, 8000)
+                assert f.dec_bits == 16
+            else:
+                assert f.dec_channels is None
+                assert f.dec_sample_rate is None and f.dec_bits is None
+    assert n_wav, "fixture should contain WAV audio rows"
+
+
+def _golden_wav(channels, sample_rate, bits=16, body=b""):
+    import struct
+
+    dsz = len(body)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + dsz) + b"WAVE"
+        + b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, sample_rate,
+            sample_rate * channels * (bits // 8),
+            channels * (bits // 8), bits,
+        )
+        + b"data" + struct.pack("<I", dsz) + body
+    )
+
+
+def test_decode_wav_golden_files(spark):
+    """WAV header decoder against hand-built known files (canonical
+    RIFF/fmt/data little-endian layout), plus the media_table round trip:
+    Spark-synthesized WAV bytes must re-parse to the hash-derived params."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.ops import multimodal
+
+    dec = multimodal.decode_wav_header
+    assert dec(_golden_wav(1, 8000)) == (1, 8000, 16)
+    assert dec(_golden_wav(2, 44100, body=b"\x01\x02" * 50)) == (2, 44100, 16)
+    assert dec(_golden_wav(6, 192000, bits=24)) == (6, 192000, 24)
+    with pytest.raises(ValueError):
+        dec(b"RIFFshort")
+    with pytest.raises(ValueError):
+        dec(_golden_bmp(2, 2))
+    with pytest.raises(ValueError):  # RIFF but not WAVE (e.g. AVI)
+        dec(_golden_wav(1, 8000).replace(b"WAVE", b"AVI "))
+
+    media = multimodal.media_table(spark, SF)
+    wavs = [
+        bytes(r.payload)
+        for r in media.filter(F.col("doc_id") % 6 == 1).collect()
+    ]
+    assert wavs, "fixture should contain WAV rows"
+    for p in wavs:
+        c, sr, bits = dec(p)
+        assert c in (1, 2) and sr in range(8000, 40001, 8000) and bits == 16
+        # declared data size matches the actual body length
+        import struct as _s
+
+        assert _s.unpack_from("<I", p, 40)[0] == len(p) - 44
 
 
 def test_eval_metrics_bounds(spark):
