@@ -89,6 +89,8 @@ def main() -> None:
             "phrase_index": engine_entry.q_phrase_index,
             "prox_topk": ir_direct.q_prox_topk,
             "prox_index": engine_entry.q_prox_index,
+            "bool_topk": ir_direct.q_bool_topk,
+            "bool_index": engine_entry.q_bool_index,
             "eval_metrics": metrics.q_eval_metrics,
             "event_windows": events.q_event_windows,
             "sessionize": events.q_sessionize,
