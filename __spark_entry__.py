@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": ml.q_kmeans,
         "purity": ml.q_purity,                        # A9 confusion + purity
         "plsa_topics": ml.q_plsa_topics,              # G4 (deterministic PLSA)
+        "cluster_topics": ml.q_cluster_topics,        # G4 1-3gram feature space
         # --- recommenders (G7/G8) ------------------------------------------
         "user_knn": recsys.q_user_knn,
         "user_knn_lsh": recsys.q_user_knn_lsh,  # G7 scale path (SRP LSH)
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": ml.SQL_KMEANS,
         "purity": ml.SQL_PURITY,
         "plsa_topics": ml.SQL_PLSA_TOPICS,
+        "cluster_topics": ml.SQL_CLUSTER_TOPICS,
         # per-iteration L2 norm is a one-row scalar CTE cross-join, same
         # unrolling pattern as SQL_PAGERANK:
         "hits": graph.SQL_HITS,

@@ -99,6 +99,7 @@ def main() -> None:
             "embedding_dups": similarity.q_embedding_dups,
             "user_knn_lsh": recsys.q_user_knn_lsh,
             "plsa_topics": ml.q_plsa_topics,
+            "cluster_topics": ml.q_cluster_topics,
             "hits": graph.q_hits,
             "author_hits": graph.q_author_hits,
             "content_recs": recsys.q_content_recs,

@@ -494,3 +494,143 @@ SELECT doc_id, z AS main_topic, round(pzd, 6) AS p_r FROM (
 
 
 SQL_PLSA_TOPICS = _sql_plsa()
+
+
+# ------------------------------- per-cluster main topic (G4 feature space)
+
+TOPIC_TOP = 5  # reference keeps topic_words[:5] (preprocess.py:59)
+
+
+def q_cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cluster, rank, ngram, cnt): top-5 1-3gram features per k-means
+    cluster — the reference's per-cluster "main topic"
+    (`ui/backend/mir/clustering/preprocess.py:34-61`: CountVectorizer
+    (ngram_range=(1,3)) over the cluster's documents, then a SINGLE-topic
+    sklearn LDA whose components_[0] ordering degenerates to total n-gram
+    frequency — with one topic every word's unnormalized topic weight is
+    its corpus count plus a constant prior). The engine therefore computes
+    that ranking directly and deterministically: total occurrence count
+    per (cluster, 1-3gram), ties broken ngram-ascending (the reference's
+    tie order is an argsort artifact of sklearn's feature ordering; pinned
+    here by spec, same policy as the tokenizer swap, SURVEY §1.4). The
+    reference joins the top five into one string — kept as ranked rows
+    here (strictly more information, and value-checkable).
+
+    Plan shape: embeddings k-means assignment (shared Lloyd iterations) ⨝
+    documents on the aligned id space; n-grams built JVM-side as array
+    expressions (transform over sequence — no shuffle, no UDF); one
+    (cluster, ngram) hash-agg; K×5-row top window. The n-gram explode is
+    ~3× the token stream — map-side only; at 100 TB the single wide
+    shuffle keys on (cluster, ngram), vocabulary-grain, AQE-coalesced.
+    """
+    from information_retrieval_spark.ops.common import SPLIT
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assign = q_kmeans(spark, sf_dir)  # (vec_id, cluster)
+    a = F.filter(
+        F.split(F.lower(F.col("text")), SPLIT), lambda x: x != ""
+    )
+    empty = F.array().cast("array<string>")
+    grams = d.select("doc_id", a.alias("a")).select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.col("a"),
+                F.when(
+                    F.size("a") >= 2,
+                    F.expr(
+                        "transform(sequence(0, size(a) - 2),"
+                        " i -> concat(a[i], ' ', a[i+1]))"
+                    ),
+                ).otherwise(empty),
+                F.when(
+                    F.size("a") >= 3,
+                    F.expr(
+                        "transform(sequence(0, size(a) - 3),"
+                        " i -> concat(a[i], ' ', a[i+1], ' ', a[i+2]))"
+                    ),
+                ).otherwise(empty),
+            )
+        ).alias("ngram"),
+    )
+    cnt = (
+        grams.join(assign, grams.doc_id == assign.vec_id)
+        .groupBy("cluster", "ngram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster").orderBy(F.desc("cnt"), F.asc("ngram"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPIC_TOP)
+        .select("cluster", "rank", "ngram", "cnt")
+    )
+
+
+def _sql_cluster_topics() -> str:
+    """DuckDB twin: the same k-means assignment CTEs, then RELATIONAL
+    n-gram construction (pos+1 / pos+2 self-joins over the positional
+    token stream — a deliberately different implementation from Spark's
+    array expressions agreeing on the same values)."""
+    cte = _sql_kmeans_ctes()
+    last = f"c{KMEANS_ITERS}"
+    cte.append(
+        f"""assign AS (
+  SELECT vec_id, k AS cluster FROM (
+    SELECT comp.vec_id, {last}.k,
+      row_number() OVER (
+        PARTITION BY comp.vec_id
+        ORDER BY round(sum((comp.x - {last}.c) * (comp.x - {last}.c)), 9) ASC,
+                 {last}.k ASC
+      ) AS r
+    FROM comp JOIN {last} ON comp.dim = {last}.dim
+    GROUP BY comp.vec_id, {last}.k
+  ) WHERE r = 1
+)"""
+    )
+    cte.append(
+        """toks AS MATERIALIZED (
+  SELECT doc_id, pos, term FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS term,
+           unnest(range(len(string_split_regex(lower(text), '[^a-z0-9]+'))))
+             AS pos
+    FROM documents
+  ) WHERE term <> ''
+)"""
+    )
+    cte.append(
+        """ng AS (
+  SELECT doc_id, term AS ngram FROM toks
+  UNION ALL
+  SELECT t1.doc_id, t1.term || ' ' || t2.term
+  FROM toks t1 JOIN toks t2
+    ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  UNION ALL
+  SELECT t1.doc_id, t1.term || ' ' || t2.term || ' ' || t3.term
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  JOIN toks t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(cte)
+        + f"""
+SELECT cluster, rank, ngram, cnt FROM (
+  SELECT cluster, ngram, cnt,
+    row_number() OVER (
+      PARTITION BY cluster ORDER BY cnt DESC, ngram ASC
+    ) AS rank
+  FROM (
+    SELECT a.cluster, ng.ngram, count(*) AS cnt
+    FROM ng JOIN assign a ON ng.doc_id = a.vec_id
+    GROUP BY a.cluster, ng.ngram
+  )
+) WHERE rank <= {TOPIC_TOP}
+"""
+    )
+
+
+SQL_CLUSTER_TOPICS = _sql_cluster_topics()

@@ -385,6 +385,43 @@ def test_plsa_topics_invariants(spark):
     assert {(r.doc_id, r.main_topic, r.p_r) for r in rows} == again
 
 
+def test_cluster_topics_matches_bruteforce(spark):
+    """G4 1-3gram feature space: the per-cluster top-5 n-gram ranking must
+    equal a pure-Python CountVectorizer-style recount (total occurrences
+    of every 1/2/3-token shingle over the cluster's docs, ties
+    ngram-ascending)."""
+    import re
+
+    from information_retrieval_spark.ops import ml
+
+    assign = {r.vec_id: r.cluster for r in ml.q_kmeans(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    counts = {}
+    for r in docs:
+        k = assign[r.doc_id]
+        toks = [w for w in re.split(r"[^a-z0-9]+", r.text.lower()) if w]
+        for n in (1, 2, 3):
+            for i in range(len(toks) - n + 1):
+                g = " ".join(toks[i : i + n])
+                counts[(k, g)] = counts.get((k, g), 0) + 1
+    want = {}
+    for k in set(assign.values()):
+        top = sorted(
+            ((g, c) for (kk, g), c in counts.items() if kk == k),
+            key=lambda gc: (-gc[1], gc[0]),
+        )[: ml.TOPIC_TOP]
+        for rank, (g, c) in enumerate(top, 1):
+            want[(k, rank)] = (g, c)
+    got = {
+        (r.cluster, r.rank): (r.ngram, r.cnt)
+        for r in ml.q_cluster_topics(spark, SF).collect()
+    }
+    assert got == want
+    # bigram/trigram features exist in the counted space (whether one
+    # reaches the top-5 is data-dependent — unigram counts dominate)
+    assert any(" " in g for (_, g) in counts)
+
+
 def test_embedding_dups_finds_mirrors(spark):
     """Every mirror copy (an exact duplicate vector) must be recovered as
     a (v, v+OFFSET) pair with cosine 1.0 — exact duplicates always share
