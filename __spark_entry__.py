@@ -53,6 +53,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_lang": ir_direct.q_bm25_topk_lang, # P4/U4 category filter
         "tfidf_ltn": ir_direct.q_tfidf_ltn,           # F6/F9
         "tfidf_ltc": ir_direct.q_tfidf_ltc,           # F6/F7/F9
+        "mlt_topk": ir_direct.q_mlt_topk,             # more-like-this
+        "facets": ir_direct.q_facets,                 # facet counts
         "bigram_index": ir_direct.q_bigram_index,     # A6/F3
         "highlight": ir_direct.q_highlight,           # F13 (scan-wide markup)
         "wand_topk": engine_entry.q_wand_topk,        # M2+M5 packed index + WAND
@@ -120,6 +122,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_lang": ir_direct.SQL_BM25_TOPK_LANG,
         "tfidf_ltn": ir_direct.SQL_TFIDF_LTN,
         "tfidf_ltc": ir_direct.SQL_TFIDF_LTC,
+        "mlt_topk": ir_direct.SQL_MLT_TOPK,
+        "facets": ir_direct.SQL_FACETS,
         "bigram_index": ir_direct.SQL_BIGRAM_INDEX,
         "highlight": ir_direct.SQL_HIGHLIGHT,
         # WAND over the packed binary index must equal the declarative BM25

@@ -63,6 +63,8 @@ def main() -> None:
     battery = {
         "bm25_topk": ir_direct.q_bm25_topk,
         "tfidf_ltc": ir_direct.q_tfidf_ltc,
+        "mlt_topk": ir_direct.q_mlt_topk,
+        "facets": ir_direct.q_facets,
         "bigram_index": ir_direct.q_bigram_index,
         "token_count": textstats.q_token_count,
         "quality": textstats.q_quality,

@@ -376,13 +376,22 @@ FROM documents
 
 # ------------------------------------------------------------------ tf-idf
 
-def _tfidf(spark: SparkSession, sf_dir: str, cosine: bool) -> DataFrame:
+def _tfidf(
+    spark: SparkSession,
+    sf_dir: str,
+    cosine: bool,
+    seeds: list[int] | None = None,
+) -> DataFrame:
     """ltn-lnn (cosine=False) / ltc-lnc (cosine=True) top-10.
 
     Doc weight (1+ln tf)·ln(N/df) with N = FULL corpus size (quirk Q1 —
     `common.py:66-69`); query weight (1+ln qtf), cosine-normalized for
     *-lnc over the query vector and over the doc's MATCHED terms
     (`common.py:15-16,26-56`).
+
+    ``seeds``: more-like-this mode — the "queries" are whole documents
+    (query_id = seed doc_id, qterm multiplicity = the seed's tf), the
+    seed itself excluded from its own result.
     """
     docs = load_documents(spark, sf_dir)
     n_docs = docs.count()  # tiny scalar; at 10^12 rows read from stats table
@@ -405,7 +414,15 @@ def _tfidf(spark: SparkSession, sf_dir: str, cosine: bool) -> DataFrame:
     )
     tf = tf_all.join(F.broadcast(stop), "term", "left_anti")
     tdf = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    qt = _qterms(spark).withColumn("q_w", 1.0 + F.log("mult"))
+    if seeds is None:
+        qt = _qterms(spark)
+    else:
+        qt = tf.filter(F.col("doc_id").isin(seeds)).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("term").alias("qterm"),
+            F.col("tf").alias("mult"),
+        )
+    qt = qt.withColumn("q_w", 1.0 + F.log("mult"))
     if cosine:
         wq = Window.partitionBy("query_id")
         qt = qt.withColumn(
@@ -416,6 +433,8 @@ def _tfidf(spark: SparkSession, sf_dir: str, cosine: bool) -> DataFrame:
         .join(F.broadcast(tdf), "term")
         .withColumn("d_w", (1.0 + F.log("tf")) * F.log(F.lit(float(n_docs)) / F.col("df")))
     )
+    if seeds is not None:
+        m = m.filter(F.col("doc_id") != F.col("query_id"))
     if cosine:
         wd = Window.partitionBy("query_id", "doc_id")
         m = m.withColumn("d_w", F.col("d_w") / F.sqrt(F.sum(F.col("d_w") ** 2).over(wd)))
@@ -440,7 +459,7 @@ def q_tfidf_ltc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tfidf(spark, sf_dir, cosine=True)
 
 
-def _sql_tfidf(cosine: bool) -> str:
+def _sql_tfidf(cosine: bool, seeds: list[int] | None = None) -> str:
     qw = "1.0 + ln(mult)"
     qnorm = (
         "/ sqrt(sum(power(1.0 + ln(mult), 2)) OVER (PARTITION BY query_id))"
@@ -452,6 +471,16 @@ def _sql_tfidf(cosine: bool) -> str:
         if cosine
         else "d_w_raw"
     )
+    if seeds is None:
+        qt0 = SQL_QTERMS
+        self_excl = ""
+    else:
+        ids = ", ".join(str(s) for s in seeds)
+        qt0 = (
+            "SELECT doc_id AS query_id, term AS qterm, tf AS mult"
+            f" FROM tf WHERE doc_id IN ({ids})"
+        )
+        self_excl = " AND tf.doc_id <> qt.query_id"
     return f"""
 WITH toks AS ({SQL_TOKENS}),
 stop AS ({sql_stop(STOP_K)}),
@@ -459,13 +488,13 @@ ns AS (SELECT * FROM toks WHERE term NOT IN (SELECT term FROM stop)),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ns GROUP BY doc_id, term),
 tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
 nd AS (SELECT count(*) AS n_docs FROM documents),
-qt0 AS ({SQL_QTERMS}),
+qt0 AS ({qt0}),
 qt AS (SELECT query_id, qterm, ({qw}) {qnorm} AS q_w FROM qt0),
 m AS (
   SELECT qt.query_id, tf.doc_id, qt.q_w,
          (1.0 + ln(tf.tf)) * ln(nd.n_docs::DOUBLE / tdf.df) AS d_w_raw
   FROM tf
-  JOIN qt ON tf.term = qt.qterm
+  JOIN qt ON tf.term = qt.qterm{self_excl}
   JOIN tdf ON tf.term = tdf.term
   CROSS JOIN nd
 ),
@@ -490,6 +519,47 @@ WHERE rank <= {TOP_K}
 
 SQL_TFIDF_LTN = _sql_tfidf(cosine=False)
 SQL_TFIDF_LTC = _sql_tfidf(cosine=True)
+
+
+# ------------------------------------------------ more-like-this + facets
+
+# Seed documents for more-like-this: the whole document is the query
+# (Lucene MoreLikeThis semantics, scored ltc-lnc like tfidf_ltc). Small
+# ids exist at every scale factor.
+MLT_SEEDS = [0, 7, 42]
+
+
+def q_mlt_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """More-like-this: top-10 docs most similar to each seed DOCUMENT by
+    ltc-lnc cosine (the seed's own tf vector is the query; the seed is
+    excluded from its result). Beyond-reference fulltext feature; same
+    single-scan plan shape as tfidf_ltc — the seed vectors are a tiny
+    broadcast side, so MLT costs one postings-grain join regardless of
+    corpus size."""
+    return _tfidf(spark, sf_dir, cosine=True, seeds=MLT_SEEDS)
+
+
+SQL_MLT_TOPK = _sql_tfidf(cosine=True, seeds=MLT_SEEDS)
+
+
+def q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faceted navigation counts: per query, how many candidate docs fall
+    in each ``lang`` facet (the sidebar counts every fulltext UI shows
+    next to ranked results). One broadcast-joined doc-grain hash-agg over
+    the candidate set; the facet column would be dictionary-encoded at
+    100 TB — scan-speed."""
+    cand = q_candidates(spark, sf_dir)
+    d = load_documents(spark, sf_dir).select("doc_id", "lang")
+    return cand.join(d, "doc_id").groupBy("query_id", "lang").agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+SQL_FACETS = f"""
+SELECT query_id, lang, count(*) AS n_docs
+FROM ({SQL_CANDIDATES}) c JOIN documents d USING (doc_id)
+GROUP BY query_id, lang
+"""
 
 
 # ------------------------------------------------------------ bigram index

@@ -422,6 +422,38 @@ def test_cluster_topics_matches_bruteforce(spark):
     assert any(" " in g for (_, g) in counts)
 
 
+def test_mlt_excludes_seed_and_ranks_dense(spark):
+    """More-like-this: a seed never appears in its own result list, every
+    seed yields a full ranked list (1..k dense), and scores are valid
+    cosines in (0, 1]."""
+    from information_retrieval_spark.ops import ir_direct
+
+    rows = ir_direct.q_mlt_topk(spark, SF).collect()
+    by_q = {}
+    for r in rows:
+        assert r.doc_id != r.query_id
+        assert 0.0 < r.score_r <= 1.0 + 1e-6
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(by_q) == set(ir_direct.MLT_SEEDS)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, ir_direct.TOP_K + 1))
+
+
+def test_facets_partition_the_candidate_set(spark):
+    """Facet counts per query must sum to that query's candidate-set size
+    (facets partition the candidates — no doc double-counted or lost)."""
+    from information_retrieval_spark.ops import ir_direct
+
+    cand = {}
+    for r in ir_direct.q_candidates(spark, SF).collect():
+        cand[r.query_id] = cand.get(r.query_id, 0) + 1
+    fsum = {}
+    for r in ir_direct.q_facets(spark, SF).collect():
+        assert r.n_docs > 0
+        fsum[r.query_id] = fsum.get(r.query_id, 0) + r.n_docs
+    assert fsum == cand
+
+
 def test_embedding_dups_finds_mirrors(spark):
     """Every mirror copy (an exact duplicate vector) must be recovered as
     a (v, v+OFFSET) pair with cosine 1.0 — exact duplicates always share
