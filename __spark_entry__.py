@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_ltc": ir_direct.q_tfidf_ltc,           # F6/F7/F9
         "mlt_topk": ir_direct.q_mlt_topk,             # more-like-this
         "facets": ir_direct.q_facets,                 # facet counts
+        "suggest": ir_direct.q_suggest,               # autocomplete
         "bigram_index": ir_direct.q_bigram_index,     # A6/F3
         "highlight": ir_direct.q_highlight,           # F13 (scan-wide markup)
         "wand_topk": engine_entry.q_wand_topk,        # M2+M5 packed index + WAND
@@ -124,6 +125,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_ltc": ir_direct.SQL_TFIDF_LTC,
         "mlt_topk": ir_direct.SQL_MLT_TOPK,
         "facets": ir_direct.SQL_FACETS,
+        "suggest": ir_direct.SQL_SUGGEST,
         "bigram_index": ir_direct.SQL_BIGRAM_INDEX,
         "highlight": ir_direct.SQL_HIGHLIGHT,
         # WAND over the packed binary index must equal the declarative BM25

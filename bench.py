@@ -65,6 +65,7 @@ def main() -> None:
         "tfidf_ltc": ir_direct.q_tfidf_ltc,
         "mlt_topk": ir_direct.q_mlt_topk,
         "facets": ir_direct.q_facets,
+        "suggest": ir_direct.q_suggest,
         "bigram_index": ir_direct.q_bigram_index,
         "token_count": textstats.q_token_count,
         "quality": textstats.q_quality,

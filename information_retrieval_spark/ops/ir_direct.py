@@ -926,3 +926,60 @@ SELECT query_id, rank, doc_id, n_should FROM (
     AND (n_must > 0 OR n_should > 0)
 ) WHERE rank <= {TOP_K}
 """.replace("{values}", _bool_sql_values())
+
+
+# -------------------------------------------------------- autocomplete
+
+# Suggester prefixes: first-letter and two-letter probes. Data-driven
+# results — the vocabulary differs per scale factor by design.
+SUGGEST_PREFIXES = ["s", "pa", "co"]
+SUGGEST_K = 10
+
+
+def q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prefix, rank, term, df): query autocomplete — top-10 completions
+    per prefix ranked by document frequency (the suggester every search
+    box needs; ties term-ascending).
+
+    Scale shape: each prefix is a SARGABLE range predicate on the term
+    dictionary (StartsWith pushes to the parquet scan as a min/max
+    row-group filter — the term dictionary is written term-sorted in the
+    persisted index), NOT a nested-loop prefix join; per-prefix top-K is
+    a K-row window over the pruned slice. Same dictionary-expansion trick
+    the WAND engine's prefix match mode uses (`query/wand.py`)."""
+    tdf = (
+        tokens_view(load_documents(spark, sf_dir))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    parts = [
+        tdf.filter(F.col("term").startswith(p)).withColumn("prefix", F.lit(p))
+        for p in SUGGEST_PREFIXES
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("prefix").orderBy(F.desc("df"), F.asc("term"))
+    return (
+        u.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SUGGEST_K)
+        .select("prefix", "rank", "term", "df")
+    )
+
+
+SQL_SUGGEST = f"""
+WITH tdf AS ({SQL_TERM_DF}),
+hits AS (
+  {" UNION ALL ".join(
+    f"SELECT '{p}' AS prefix, term, df FROM tdf WHERE term LIKE '{p}%'"
+    for p in SUGGEST_PREFIXES
+  )}
+)
+SELECT prefix, rank, term, df FROM (
+  SELECT prefix, term, df,
+         row_number() OVER (
+           PARTITION BY prefix ORDER BY df DESC, term ASC
+         ) AS rank
+  FROM hits
+) WHERE rank <= {SUGGEST_K}
+"""

@@ -454,6 +454,40 @@ def test_facets_partition_the_candidate_set(spark):
     assert fsum == cand
 
 
+def test_suggest_matches_bruteforce_and_pushes_prefix(spark):
+    """Autocomplete: per-prefix top-10 completions by (df desc, term asc)
+    must equal a pure-Python recount, and the prefix predicate must reach
+    the scan as StartsWith (sargable — no nested-loop prefix join)."""
+    import re
+
+    from information_retrieval_spark.ops import ir_direct
+
+    df_count = {}
+    for r in spark.read.parquet(f"{SF}/documents.parquet").collect():
+        for t in set(w for w in re.split(r"[^a-z0-9]+", r.text.lower()) if w):
+            df_count[t] = df_count.get(t, 0) + 1
+    want = {}
+    for p in ir_direct.SUGGEST_PREFIXES:
+        top = sorted(
+            ((t, c) for t, c in df_count.items() if t.startswith(p)),
+            key=lambda tc: (-tc[1], tc[0]),
+        )[: ir_direct.SUGGEST_K]
+        for rank, (t, c) in enumerate(top, 1):
+            want[(p, rank)] = (t, c)
+    got = {
+        (r.prefix, r.rank): (r.term, r.df)
+        for r in ir_direct.q_suggest(spark, SF).collect()
+    }
+    assert got == want
+    plan = (
+        ir_direct.q_suggest(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "StartsWith(term" in plan or "StartsWith(text" in plan, plan[:2000]
+
+
 def test_embedding_dups_finds_mirrors(spark):
     """Every mirror copy (an exact duplicate vector) must be recovered as
     a (v, v+OFFSET) pair with cosine 1.0 — exact duplicates always share
