@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "candidates": ir_direct.q_candidates,         # U1/J1 + Q8
         "bm25_topk": ir_direct.q_bm25_topk,           # F8/F10 + Q1-Q3, T1
         "bm25_topk_lang": ir_direct.q_bm25_topk_lang, # P4/U4 category filter
+        "bm25_filtered": ir_direct.q_bm25_filtered,   # must/must_not + BM25
         "tfidf_ltn": ir_direct.q_tfidf_ltn,           # F6/F9
         "tfidf_ltc": ir_direct.q_tfidf_ltc,           # F6/F7/F9
         "mlt_topk": ir_direct.q_mlt_topk,             # more-like-this
@@ -59,6 +60,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_index": ir_direct.q_bigram_index,     # A6/F3
         "highlight": ir_direct.q_highlight,           # F13 (scan-wide markup)
         "wand_topk": engine_entry.q_wand_topk,        # M2+M5 packed index + WAND
+        "wand_filtered": engine_entry.q_wand_filtered, # WAND + must/must_not
         "spell_correct": engine_entry.q_spell_correct, # F3-F5 + Q7
         "phrase_topk": ir_direct.q_phrase_topk,       # positional phrase
         "phrase_index": engine_entry.q_phrase_index,  # same, packed index
@@ -121,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "candidates": ir_direct.SQL_CANDIDATES,
         "bm25_topk": ir_direct.SQL_BM25_TOPK,
         "bm25_topk_lang": ir_direct.SQL_BM25_TOPK_LANG,
+        "bm25_filtered": ir_direct.SQL_BM25_FILTERED,
         "tfidf_ltn": ir_direct.SQL_TFIDF_LTN,
         "tfidf_ltc": ir_direct.SQL_TFIDF_LTC,
         "mlt_topk": ir_direct.SQL_MLT_TOPK,
@@ -131,6 +134,9 @@ def oracle_sql() -> dict[str, str]:
         # WAND over the packed binary index must equal the declarative BM25
         # plan — same logical query, different physical strategy:
         "wand_topk": ir_direct.SQL_BM25_TOPK,
+        # WAND with boolean constraints must equal the declarative
+        # filtered BM25 plan — same oracle, different physical strategy:
+        "wand_filtered": ir_direct.SQL_BM25_FILTERED,
         "phrase_topk": ir_direct.SQL_PHRASE_TOPK,
         # phrase over the persisted positional index must equal the
         # declarative token-position plan — two physical strategies:

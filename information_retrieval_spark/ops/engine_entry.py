@@ -261,3 +261,34 @@ def q_bool_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_should",
     )
+
+
+def q_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ranked search via block-max WAND: BM25 over the packed
+    index with per-query must/must_not constraints
+    (QuerySpec.filter_terms / exclude_terms) — must equal the declarative
+    filtered plan (oracle: SQL_BM25_FILTERED). The filter doc sets ride
+    the bucket-aligned meta channel; the WAND cursor machine skips
+    disallowed docs without decoding their postings blocks."""
+    from information_retrieval_spark.ops.ir_direct import BM25_FILTER_SET
+    from information_retrieval_spark.query.wand import WandEngine
+
+    idx = ensure_documents_index(spark, sf_dir)
+    eng = WandEngine(spark, idx)
+    specs = []
+    for qid, text in QUERY_SET:
+        m, x = BM25_FILTER_SET.get(qid, ("", ""))
+        specs.append(
+            QuerySpec(
+                qid, text, "okapi25", 10, spell=False, match_mode="exact",
+                filter_terms=tuple(m.split()),
+                exclude_terms=tuple(x.split()),
+            )
+        )
+    out = eng.search(specs)
+    return out.select(
+        F.col("query_id").cast("int").alias("query_id"),
+        "rank",
+        "doc_id",
+        F.round("score", 6).alias("score_r"),
+    )

@@ -209,7 +209,37 @@ def q_bm25_topk_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_topk(spark, sf_dir, lang=FILTER_LANG)
 
 
-def _bm25_topk(spark: SparkSession, sf_dir: str, lang: str | None) -> DataFrame:
+# Per-query boolean constraints for FILTERED ranked search (Lucene "filter
+# context": constrains matches, contributes nothing to the score):
+# query_id -> (must terms, must_not terms). Queries absent here are
+# unfiltered. Presence is defined over INDEXED (non-stop) terms — the same
+# visibility search itself has.
+BM25_FILTER_SET: dict[int, tuple[str, str]] = {
+    0: ("data", ""),
+    2: ("", "table"),
+    4: ("scan merge", ""),
+    7: ("data", "hash"),
+}
+
+
+def _filter_spec_rows(
+    term_filters: dict[int, tuple[str, str]],
+) -> tuple[list[tuple[int, str, int]], list[tuple[int, str]]]:
+    """(must rows (query_id, term, n_must), exclude rows (query_id, term))."""
+    must, excl = [], []
+    for qid, (m, x) in sorted(term_filters.items()):
+        mts = list(dict.fromkeys(m.split()))
+        must.extend((qid, t, len(mts)) for t in mts)
+        excl.extend((qid, t) for t in dict.fromkeys(x.split()))
+    return must, excl
+
+
+def _bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    lang: str | None,
+    term_filters: dict[int, tuple[str, str]] | None = None,
+) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     # ONE corpus scan: aggregate to (doc_id, term, tf) first, then derive
     # stop list (Σ tf per term), non-stop tf, and dl (Σ non-stop tf per
@@ -240,6 +270,43 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, lang: str | None) -> DataFrame:
     if lang is not None:
         lang_docs = docs.filter(F.col("lang") == lang).select("doc_id")
         m = m.join(lang_docs, "doc_id", "semi")
+    if term_filters:
+        # boolean constraints restrict the matched stream BEFORE the
+        # candidate stats (same placement as the category filter): Q1
+        # n_cand / Q2 avgdl / df all recompute over the filtered set
+        must_rows, excl_rows = _filter_spec_rows(term_filters)
+        pres = tf.select("doc_id", "term")  # (doc, term) unique already
+        if excl_rows:
+            ex_spec = spark.createDataFrame(
+                excl_rows, "query_id int, xterm string"
+            )
+            ex = (
+                pres.join(F.broadcast(ex_spec), pres.term == ex_spec.xterm)
+                .select("query_id", "doc_id")
+                .distinct()
+            )
+            m = m.join(ex, ["query_id", "doc_id"], "left_anti")
+        if must_rows:
+            mu_spec = spark.createDataFrame(
+                must_rows, "query_id int, mterm string, n_must int"
+            )
+            mu_ok = (
+                pres.join(F.broadcast(mu_spec), pres.term == mu_spec.mterm)
+                .groupBy("query_id", "doc_id", "n_must")
+                .agg(F.countDistinct("mterm").alias("got"))
+                .filter(F.col("got") == F.col("n_must"))
+                .select("query_id", "doc_id", F.lit(1).alias("__mok"))
+            )
+            has_must = spark.createDataFrame(
+                [(qid, 1) for qid in sorted({r[0] for r in must_rows})],
+                "query_id int, __hm int",
+            )
+            m = (
+                m.join(mu_ok, ["query_id", "doc_id"], "left")
+                .join(F.broadcast(has_must), "query_id", "left")
+                .filter(F.col("__hm").isNull() | F.col("__mok").isNotNull())
+                .drop("__mok", "__hm")
+            )
     cand = m.select("query_id", "doc_id").distinct()
     nq = cand.groupBy("query_id").agg(F.count("*").alias("n_cand"))
     avgdl = (
@@ -277,12 +344,54 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, lang: str | None) -> DataFrame:
     )
 
 
-def _sql_bm25_topk(lang: str | None) -> str:
+def _sql_bm25_topk(
+    lang: str | None, term_filters: dict[int, tuple[str, str]] | None = None
+) -> str:
     lang_pred = (
         f"\n  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
         if lang is not None
         else ""
     )
+    if term_filters:
+        must_rows, excl_rows = _filter_spec_rows(term_filters)
+        mus = ", ".join(f"({q}, '{t}', {n})" for q, t, n in must_rows) or \
+            "(NULL, NULL, NULL)"
+        exs = ", ".join(f"({q}, '{t}')" for q, t in excl_rows) or \
+            "(NULL, NULL)"
+        filter_ctes = f"""m0 AS (
+  SELECT qt.query_id, qt.qterm, qt.mult, tf.doc_id, tf.tf
+  FROM tf JOIN qt ON tf.term = qt.qterm{lang_pred}
+),
+mus AS (SELECT * FROM (VALUES {mus}) u(query_id, mterm, n_must)
+        WHERE query_id IS NOT NULL),
+exs AS (SELECT * FROM (VALUES {exs}) e(query_id, xterm)
+        WHERE query_id IS NOT NULL),
+ex AS (
+  SELECT DISTINCT e.query_id, p.doc_id
+  FROM tf p JOIN exs e ON p.term = e.xterm
+),
+mu AS (
+  SELECT query_id, doc_id FROM (
+    SELECT u.query_id, p.doc_id, u.n_must,
+           count(DISTINCT u.mterm) AS got
+    FROM tf p JOIN mus u ON p.term = u.mterm
+    GROUP BY u.query_id, p.doc_id, u.n_must
+  ) WHERE got = n_must
+),
+m AS (
+  SELECT m0.* FROM m0
+  LEFT JOIN ex ON m0.query_id = ex.query_id AND m0.doc_id = ex.doc_id
+  WHERE ex.doc_id IS NULL
+    AND (m0.query_id NOT IN (SELECT query_id FROM mus)
+         OR EXISTS (SELECT 1 FROM mu
+                    WHERE mu.query_id = m0.query_id
+                      AND mu.doc_id = m0.doc_id))
+)"""
+    else:
+        filter_ctes = f"""m AS (
+  SELECT qt.query_id, qt.qterm, qt.mult, tf.doc_id, tf.tf
+  FROM tf JOIN qt ON tf.term = qt.qterm{lang_pred}
+)"""
     return f"""
 WITH toks AS ({SQL_TOKENS}),
 stop AS ({sql_stop(STOP_K)}),
@@ -290,10 +399,7 @@ ns AS (SELECT * FROM toks WHERE term NOT IN (SELECT term FROM stop)),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ns GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM ns GROUP BY doc_id),
 qt AS ({SQL_QTERMS}),
-m AS (
-  SELECT qt.query_id, qt.qterm, qt.mult, tf.doc_id, tf.tf
-  FROM tf JOIN qt ON tf.term = qt.qterm{lang_pred}
-),
+{filter_ctes},
 cand AS (SELECT DISTINCT query_id, doc_id FROM m),
 nq AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id),
 ad AS (
@@ -333,6 +439,23 @@ WHERE rank <= {TOP_K}
 
 SQL_BM25_TOPK = _sql_bm25_topk(None)
 SQL_BM25_TOPK_LANG = _sql_bm25_topk(FILTER_LANG)
+SQL_BM25_FILTERED = _sql_bm25_topk(None, BM25_FILTER_SET)
+
+
+def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED ranked search (Lucene filter-context semantics, beyond the
+    reference's pure OR ranking): BM25 over the query terms, candidates
+    restricted to docs containing ALL of the query's must terms and NONE
+    of its must_not terms (BM25_FILTER_SET); filter terms never score.
+    Q1 n_cand / Q2 avgdl / df recompute over the filtered candidate set —
+    identical semantics to ``QuerySpec(filter_terms=, exclude_terms=)`` on
+    both persisted-index engines (rank-identity pytest-asserted).
+
+    Plan shape: the must/exclude doc sets are two extra postings-grain
+    aggregates over the SAME (doc, term, tf) table (at scale: pushed
+    In(term) scans of the filter terms' postings only), anti-/left-joined
+    into the matched stream doc-grain — no corpus scan is added."""
+    return _bm25_topk(spark, sf_dir, lang=None, term_filters=BM25_FILTER_SET)
 
 
 # --------------------------------------------------------------- highlight

@@ -58,6 +58,13 @@ class QuerySpec:
     # index must be built with IndexBuilder(category_col=...). All per-query
     # candidate stats (Q1 N, Q2 avgdl, df) recompute over the sub-corpus.
     filter_category: str | None = None
+    # boolean constraints (Lucene filter context — they restrict matches
+    # but never score): docs must contain ALL filter_terms and NONE of
+    # exclude_terms, in any section. Terms are index-basis tokens (already
+    # tokenized/lowercased). Candidate stats recompute over the filtered
+    # set, same placement as filter_category.
+    filter_terms: tuple[str, ...] = ()
+    exclude_terms: tuple[str, ...] = ()
 
 
 class SearchEngine:
@@ -165,6 +172,7 @@ class SearchEngine:
         match_mode: str,
         cat: tuple[DataFrame, list[str]] | None = None,
         qterm_literals: list[str] | None = None,
+        tfil: tuple[list, list] | None = None,
     ) -> DataFrame:
         """(query_id, qterm, mult, doc_id, section, tf) — tf merged over the
         prefix expansion when match_mode='prefix'. ``cat`` is the optional
@@ -247,6 +255,8 @@ class SearchEngine:
                 )
                 .drop("want_cat", "category")
             )
+        if tfil is not None:
+            m = self._apply_term_filters(m, tfil)
         if match_mode == "exact":
             # postings are unique per (term, section, doc_id) and qterms per
             # (query_id, qterm): the join output is already grouped — the
@@ -284,6 +294,74 @@ class SearchEngine:
             rows, "query_id long, want_cat string"
         )
         return df, sorted({c for _, c in rows})
+
+    def _term_filter_rows(
+        self, queries: list[QuerySpec]
+    ) -> tuple[list, list] | None:
+        """(must rows (query_id, term, n_must), exclude rows (query_id,
+        term)) from the batch's filter_terms / exclude_terms, or None when
+        no query carries boolean constraints."""
+        mu, ex = [], []
+        for q in queries:
+            ft = list(dict.fromkeys(q.filter_terms or ()))
+            mu.extend((q.query_id, t, len(ft)) for t in ft)
+            ex.extend(
+                (q.query_id, t) for t in dict.fromkeys(q.exclude_terms or ())
+            )
+        return (mu, ex) if (mu or ex) else None
+
+    def _apply_term_filters(
+        self, m: DataFrame, tfil: tuple[list, list]
+    ) -> DataFrame:
+        """Restrict the matched stream to docs satisfying each query's
+        boolean constraints (ALL filter_terms present, NO exclude_terms),
+        BEFORE the has_exact gate and candidate stats. Presence is read
+        from the postings table with a pushed In(filter terms) scan —
+        filter-term postings only, never a corpus scan; queries without
+        constraints pass through untouched (left-join + null checks, no
+        semi-join that would drop them)."""
+        mu_rows, ex_rows = tfil
+        fterms = sorted(
+            {t for _, t, _ in mu_rows} | {t for _, t in ex_rows}
+        )
+        fp = self.postings.select("term", "doc_id").filter(
+            F.col("term").isin(fterms)
+        )
+        if self.deleted_df is not None:
+            fp = fp.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
+        fp = fp.distinct()  # collapse sections (presence = any section)
+        if ex_rows:
+            ex_spec = self.spark.createDataFrame(
+                ex_rows, "query_id long, xterm string"
+            )
+            ex = (
+                fp.join(F.broadcast(ex_spec), fp.term == ex_spec.xterm)
+                .select("query_id", "doc_id")
+                .distinct()
+            )
+            m = m.join(ex, ["query_id", "doc_id"], "left_anti")
+        if mu_rows:
+            mu_spec = self.spark.createDataFrame(
+                mu_rows, "query_id long, mterm string, n_must int"
+            )
+            mu_ok = (
+                fp.join(F.broadcast(mu_spec), fp.term == mu_spec.mterm)
+                .groupBy("query_id", "doc_id", "n_must")
+                .agg(F.countDistinct("mterm").alias("got"))
+                .filter(F.col("got") == F.col("n_must"))
+                .select("query_id", "doc_id", F.lit(1).alias("__mok"))
+            )
+            has_must = self.spark.createDataFrame(
+                [(qid, 1) for qid in sorted({r[0] for r in mu_rows})],
+                "query_id long, __hm int",
+            )
+            m = (
+                m.join(mu_ok, ["query_id", "doc_id"], "left")
+                .join(F.broadcast(has_must), "query_id", "left")
+                .filter(F.col("__hm").isNull() | F.col("__mok").isNotNull())
+                .drop("__mok", "__hm")
+            )
+        return m
 
     def _cand_stats(self, matched: DataFrame):
         """Per-query N + per-(query, section) avgdl (Q1/Q2) from the
@@ -469,6 +547,7 @@ class SearchEngine:
         matched = self._matched(
             qterms, mode, self._cat_df(queries),
             qterm_literals=[t for _, t, _ in rows],
+            tfil=self._term_filter_rows(queries),
         )
         contribs = self._score_okapi(matched)
         weights_df = self._weights_df(queries)
@@ -518,6 +597,7 @@ class SearchEngine:
         matched = self._matched(
             qterms, mode, self._cat_df(queries),
             qterm_literals=[t for _, t, *_ in qrows],
+            tfil=self._term_filter_rows(queries),
         )
         # re-attach q_w / df_global lost by the groupBy in _matched
         qmeta = qterms.select("query_id", "qterm", "q_w", "df_global")

@@ -541,8 +541,85 @@ class WandEngine:
                 )
                 .drop("want_cat", "category")
             )
+        # boolean term constraints (QuerySpec.filter_terms/exclude_terms,
+        # Lucene filter context): presence read from postings_flat with a
+        # pushed In(filter terms) scan; the per-query allow/deny doc sets
+        # restrict the stats stream here and ride the bucket-aligned meta
+        # channel into the WAND pass below — same two placements as the
+        # category filter
+        mu_rows, ex_rows = [], []
+        for q in queries:
+            ft = list(dict.fromkeys(q.filter_terms or ()))
+            mu_rows.extend((q.query_id, t, len(ft)) for t in ft)
+            ex_rows.extend(
+                (q.query_id, t) for t in dict.fromkeys(q.exclude_terms or ())
+            )
+        has_must = {qid for qid, _, _ in mu_rows}
+        ex_df = mu_df = None
+        if mu_rows or ex_rows:
+            from information_retrieval_spark.index.catalog import read_table
+
+            pf = read_table(
+                self.spark, self.index_dir, "postings_flat", self.version
+            )
+            if pf is None:
+                raise ValueError(
+                    "filter_terms/exclude_terms require a postings_flat"
+                    f" table in index {self.index_dir!r}"
+                )
+            fterms = sorted(
+                {t for _, t, _ in mu_rows} | {t for _, t in ex_rows}
+            )
+            fp = pf.select("term", "doc_id").filter(
+                F.col("term").isin(fterms)
+            )
+            if self.deleted_df is not None:
+                fp = fp.join(
+                    F.broadcast(self.deleted_df), "doc_id", "left_anti"
+                )
+            fp = fp.distinct()
+            if ex_rows:
+                ex_spec = self.spark.createDataFrame(
+                    ex_rows, "query_id long, xterm string"
+                )
+                ex_df = (
+                    fp.join(F.broadcast(ex_spec), fp.term == ex_spec.xterm)
+                    .select("query_id", "doc_id")
+                    .distinct()
+                )
+                live_mq = live_mq.join(
+                    ex_df, ["query_id", "doc_id"], "left_anti"
+                )
+            if mu_rows:
+                mu_spec = self.spark.createDataFrame(
+                    mu_rows, "query_id long, mterm string, n_must int"
+                )
+                mu_df = (
+                    fp.join(F.broadcast(mu_spec), fp.term == mu_spec.mterm)
+                    .groupBy("query_id", "doc_id", "n_must")
+                    .agg(F.countDistinct("mterm").alias("got"))
+                    .filter(F.col("got") == F.col("n_must"))
+                    .select("query_id", "doc_id")
+                )
+                hm_df = self.spark.createDataFrame(
+                    [(qid, 1) for qid in sorted(has_must)],
+                    "query_id long, __hm int",
+                )
+                live_mq = (
+                    live_mq.join(
+                        mu_df.withColumn("__mok", F.lit(1)),
+                        ["query_id", "doc_id"],
+                        "left",
+                    )
+                    .join(F.broadcast(hm_df), "query_id", "left")
+                    .filter(
+                        F.col("__hm").isNull() | F.col("__mok").isNotNull()
+                    )
+                    .drop("__mok", "__hm")
+                )
+        has_tfil = bool(mu_rows or ex_rows)
         has_deletes = self.deleted_df is not None
-        if mode == "prefix" and (has_deletes or cat_map):
+        if mode == "prefix" and (has_deletes or cat_map or has_tfil):
             # re-check the has_exact gate against LIVE postings, exactly as
             # engine._matched does and BEFORE candidate stats: a fully
             # deleted exact term must suppress its whole expansion,
@@ -577,7 +654,9 @@ class WandEngine:
         # (`engine.py` dfq semantics); otherwise the global term_df table
         # (tiny pushed-filter scan). A qterm with no live group simply never
         # appears → df_of returns None → the term is skipped.
-        per_query_df = mode == "prefix" or has_deletes or bool(cat_map)
+        per_query_df = (
+            mode == "prefix" or has_deletes or bool(cat_map) or has_tfil
+        )
         if per_query_df:
             df_agg = live_mq.groupBy("query_id", "qterm").agg(
                 F.countDistinct("doc_id").alias("df")
@@ -654,7 +733,11 @@ class WandEngine:
         # (applyInPandas dispatches on function arity — a 2-arg callable is
         # called as (key, pdf) — so the plain path gets a 1-arg wrapper)
         def wand_bucket_impl(
-            pdf: pd.DataFrame, cat_of: dict | None, deleted: frozenset
+            pdf: pd.DataFrame,
+            cat_of: dict | None,
+            deleted: frozenset,
+            ex_docs: dict | None = None,
+            mu_docs: dict | None = None,
         ) -> pd.DataFrame:
             # (term, section) → {segment → block run}: each LSM segment is
             # its own sorted, non-overlapping run; multi-segment groups get
@@ -680,11 +763,25 @@ class WandEngine:
             out_q, out_d, out_s = [], [], []
             for qid, meta in qmeta.items():
                 want = cat_map.get(qid)
-                allowed = (
-                    (lambda d, w=want: cat_of.get(d) == w)
-                    if want is not None
+                exs = (ex_docs or {}).get(qid)
+                # None = no must constraint; an empty set rejects every doc
+                # in this bucket (the must terms match nothing here)
+                mus = (
+                    (mu_docs or {}).get(qid, frozenset())
+                    if qid in has_must
                     else None
                 )
+                if want is None and not exs and mus is None:
+                    allowed = None
+                else:
+                    def allowed(d, w=want, e=exs, mu=mus):
+                        if w is not None and cat_of.get(d) != w:
+                            return False
+                        if e and d in e:
+                            return False
+                        if mu is not None and d not in mu:
+                            return False
+                        return True
                 lists = []
                 for (qterm, s), m in meta["terms"].items():
                     runs = [
@@ -737,6 +834,22 @@ class WandEngine:
                     F.lit(None).cast("string").alias("val"),
                 )
             )
+        if ex_df is not None:
+            metas.append(
+                ex_df.select(
+                    "doc_id",
+                    F.lit("exq").alias("kind"),
+                    F.col("query_id").cast("string").alias("val"),
+                )
+            )
+        if mu_df is not None:
+            metas.append(
+                mu_df.select(
+                    "doc_id",
+                    F.lit("muq").alias("kind"),
+                    F.col("query_id").cast("string").alias("val"),
+                )
+            )
         if metas:
             meta_b = metas[0]
             for m in metas[1:]:
@@ -749,15 +862,25 @@ class WandEngine:
             def wand_cogroup(
                 left: pd.DataFrame, right: pd.DataFrame
             ) -> pd.DataFrame:
-                is_del = right["kind"].to_numpy() == "del"
-                deleted = frozenset(right["doc_id"].to_numpy()[is_del].tolist())
+                kinds = right["kind"].to_numpy()
+                docs = right["doc_id"].to_numpy()
+                vals = right["val"].to_numpy()
+                deleted = frozenset(docs[kinds == "del"].tolist())
+                is_cat = kinds == "cat"
                 cat_of = dict(
-                    zip(
-                        right["doc_id"].to_numpy()[~is_del].tolist(),
-                        right["val"].to_numpy()[~is_del].tolist(),
-                    )
+                    zip(docs[is_cat].tolist(), vals[is_cat].tolist())
                 )
-                return wand_bucket_impl(left, cat_of, deleted)
+                ex_docs: dict[int, set] = {}
+                for d, v in zip(
+                    docs[kinds == "exq"].tolist(), vals[kinds == "exq"].tolist()
+                ):
+                    ex_docs.setdefault(int(v), set()).add(d)
+                mu_docs: dict[int, set] = {}
+                for d, v in zip(
+                    docs[kinds == "muq"].tolist(), vals[kinds == "muq"].tolist()
+                ):
+                    mu_docs.setdefault(int(v), set()).add(d)
+                return wand_bucket_impl(left, cat_of, deleted, ex_docs, mu_docs)
 
             per_bucket = (
                 shard.groupby("bucket")
