@@ -365,13 +365,14 @@ class IndexBuilder:
                         # parallel TakeOrderedAndProject over the term
                         # counts, and only the K surviving rows ever see a
                         # window. The partition key must be NON-foldable:
-                        # Catalyst strips lit(0) from the partition spec
-                        # and the window then plans (and warns) as global;
-                        # cnt*0 is constant-valued but column-dependent.
+                        # Catalyst strips lit(0) — and folds cnt*0 over
+                        # the non-nullable count — so the window would
+                        # plan (and warn) as global; pmod(cnt, 1) is
+                        # constant-valued but survives to WindowExec.
                         F.row_number().over(
-                            Window.partitionBy(F.col("cnt") * 0).orderBy(
-                                F.desc("cnt"), F.asc("term")
-                            )
+                            Window.partitionBy(
+                                F.pmod(F.col("cnt"), F.lit(1))
+                            ).orderBy(F.desc("cnt"), F.asc("term"))
                         ),
                     )
                 )

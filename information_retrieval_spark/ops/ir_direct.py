@@ -83,9 +83,13 @@ def q_stop_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank assigned AFTER the limit (TakeOrderedAndProject does the
     # parallel top-K); the partition key must be NON-foldable — Catalyst
     # strips a literal like lit(0) from the partition spec and the K-row
-    # ranking then plans (and warns) as a global all-data window. cnt*0 is
-    # constant-valued but column-dependent, so it survives to WindowExec.
-    w = Window.partitionBy(F.col("cnt") * 0).orderBy(F.desc("cnt"), F.asc("term"))
+    # ranking then plans (and warns) as a global all-data window. cnt*0
+    # is NOT enough (Multiply-by-zero over the non-nullable count also
+    # constant-folds); pmod(cnt, 1) is constant-valued but survives to
+    # WindowExec as a real partition key.
+    w = Window.partitionBy(F.pmod(F.col("cnt"), F.lit(1))).orderBy(
+        F.desc("cnt"), F.asc("term")
+    )
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "term", "cnt"
     )
@@ -239,6 +243,7 @@ def _bm25_topk(
     sf_dir: str,
     lang: str | None,
     term_filters: dict[int, tuple[str, str]] | None = None,
+    qterms_fn=None,
 ) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     # ONE corpus scan: aggregate to (doc_id, term, tf) first, then derive
@@ -262,7 +267,9 @@ def _bm25_topk(
     )
     tf = tf_all.join(F.broadcast(stop), "term", "left_anti")
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
-    qt = _qterms(spark)
+    # qterms_fn lets callers derive query terms FROM the indexed
+    # vocabulary (wildcard expansion) instead of the inline query set.
+    qt = qterms_fn(tf) if qterms_fn is not None else _qterms(spark)
 
     m = tf.join(F.broadcast(qt), tf.term == qt.qterm).select(
         "query_id", "qterm", "mult", "doc_id", "tf"
@@ -345,7 +352,9 @@ def _bm25_topk(
 
 
 def _sql_bm25_topk(
-    lang: str | None, term_filters: dict[int, tuple[str, str]] | None = None
+    lang: str | None,
+    term_filters: dict[int, tuple[str, str]] | None = None,
+    qterms_sql: str | None = None,
 ) -> str:
     lang_pred = (
         f"\n  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
@@ -398,7 +407,7 @@ stop AS ({sql_stop(STOP_K)}),
 ns AS (SELECT * FROM toks WHERE term NOT IN (SELECT term FROM stop)),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ns GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM ns GROUP BY doc_id),
-qt AS ({SQL_QTERMS}),
+qt AS ({qterms_sql if qterms_sql is not None else SQL_QTERMS}),
 {filter_ctes},
 cand AS (SELECT DISTINCT query_id, doc_id FROM m),
 nq AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id),
@@ -1106,3 +1115,61 @@ SELECT prefix, rank, term, df FROM (
   FROM hits
 ) WHERE rank <= {SUGGEST_K}
 """
+
+
+# ------------------------------------------------------- wildcard search
+
+#: (query_id, SQL-LIKE pattern). The user-facing syntax is ``*`` (Lucene);
+#: stored here pre-translated to LIKE ``%`` so the Spark plan and the
+#: DuckDB twin share one literal. Covers prefix, suffix, both-anchored
+#: and infix shapes.
+WILDCARD_QUERY_SET: list[tuple[int, str]] = [
+    (0, "va%"),      # prefix
+    (1, "%dow"),     # suffix
+    (2, "s%t"),      # prefix + suffix
+    (3, "qu%ry"),    # infix hole
+]
+
+
+def q_wildcard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, doc_id, score_r): wildcard ranked search — each
+    pattern expands against the INDEXED vocabulary (stop words are never
+    indexed, exactly Lucene's multi-term rewrite), every expansion scores
+    as a weight-1 query term, then the standard candidate-set BM25 ranks
+    (scoring-boolean rewrite, not constant-score).
+
+    Scale shape: expansion runs on the term dictionary, never the
+    postings. Patterns with a literal prefix are SARGABLE (Catalyst turns
+    ``LIKE 'va%'`` into StartsWith → min/max row-group pruning on the
+    term-sorted dictionary); suffix-anchored patterns would use the
+    reversed-term dictionary in the persisted index (same trick,
+    reverse(term)-sorted) — here the dictionary is derived in-plan so all
+    four shapes share the one tiny vocabulary frame."""
+
+    def expand(tf: DataFrame) -> DataFrame:
+        vocab = tf.select("term").distinct()
+        parts = [
+            vocab.filter(F.col("term").like(pat)).select(
+                F.lit(qid).alias("query_id"),
+                F.col("term").alias("qterm"),
+                F.lit(1).alias("mult"),
+            )
+            for qid, pat in WILDCARD_QUERY_SET
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    return _bm25_topk(spark, sf_dir, None, qterms_fn=expand)
+
+
+SQL_WILDCARD_QTERMS = f"""
+  SELECT p.query_id, v.term AS qterm, 1 AS mult
+  FROM (SELECT DISTINCT term FROM tf) v,
+       (VALUES {", ".join(f"({q}, '{p}')" for q, p in WILDCARD_QUERY_SET)})
+         p(query_id, pat)
+  WHERE v.term LIKE p.pat
+"""
+
+SQL_WILDCARD_TOPK = _sql_bm25_topk(None, qterms_sql=SQL_WILDCARD_QTERMS)
