@@ -23,6 +23,8 @@ from information_retrieval_spark.ops import (
     engine_entry,
     events,
     graph,
+    grep,
+    hygiene,
     ir_direct,
     metrics,
     ml,
@@ -57,6 +59,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mlt_topk": ir_direct.q_mlt_topk,             # more-like-this
         "facets": ir_direct.q_facets,                 # facet counts
         "suggest": ir_direct.q_suggest,               # autocomplete
+        "wildcard_topk": ir_direct.q_wildcard_topk,   # wildcard multi-term
         "bigram_index": ir_direct.q_bigram_index,     # A6/F3
         "highlight": ir_direct.q_highlight,           # F13 (scan-wide markup)
         "wand_topk": engine_entry.q_wand_topk,        # M2+M5 packed index + WAND
@@ -68,12 +71,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prox_index": engine_entry.q_prox_index,      # same, packed index
         "bool_topk": ir_direct.q_bool_topk,           # must/should/must-not
         "bool_index": engine_entry.q_bool_index,      # same, packed index
+        "grep_topk": grep.q_grep_topk,        # regex code search, brute
+        "grep_index": grep.q_grep_index,      # same, trigram-prefiltered
         # --- text analysis -------------------------------------------------
         "token_count": textstats.q_token_count,
         "quality": textstats.q_quality,
         "langid": textstats.q_langid,
         "fingerprint": textstats.q_fingerprint,
         "sample": textstats.q_sample,             # S4 (deterministic)
+        # --- corpus hygiene (decontamination / repetition / collocations) --
+        "contamination": hygiene.q_contamination,
+        "repetition": hygiene.q_repetition,
+        "collocations": hygiene.q_collocations,
         # --- deduplication -------------------------------------------------
         "dedup_exact": dedup.q_dedup_exact,
         "minhash_sig": dedup.q_minhash_signatures,
@@ -129,6 +138,7 @@ def oracle_sql() -> dict[str, str]:
         "mlt_topk": ir_direct.SQL_MLT_TOPK,
         "facets": ir_direct.SQL_FACETS,
         "suggest": ir_direct.SQL_SUGGEST,
+        "wildcard_topk": ir_direct.SQL_WILDCARD_TOPK,
         "bigram_index": ir_direct.SQL_BIGRAM_INDEX,
         "highlight": ir_direct.SQL_HIGHLIGHT,
         # WAND over the packed binary index must equal the declarative BM25
@@ -148,6 +158,13 @@ def oracle_sql() -> dict[str, str]:
         # token plan — two physical strategies, one oracle:
         "bool_index": ir_direct.SQL_BOOL_TOPK,
         "spell_correct": engine_entry.SQL_SPELL_CORRECT,
+        "grep_topk": grep.SQL_GREP_TOPK,
+        # trigram-prefiltered grep must equal the brute regex scan — two
+        # physical strategies, one oracle:
+        "grep_index": grep.SQL_GREP_TOPK,
+        "contamination": hygiene.SQL_CONTAMINATION,
+        "repetition": hygiene.SQL_REPETITION,
+        "collocations": hygiene.SQL_COLLOCATIONS,
         "token_count": textstats.SQL_TOKEN_COUNT,
         "quality": textstats.SQL_QUALITY,
         "langid": textstats.SQL_LANGID,

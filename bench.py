@@ -111,6 +111,18 @@ def main() -> None:
             "media_features": multimodal.q_media_features,
         }
     )
+    from information_retrieval_spark.ops import grep as grep_mod, hygiene
+
+    battery.update(
+        {
+            "grep_topk": grep_mod.q_grep_topk,
+            "grep_index": grep_mod.q_grep_index,
+            "wildcard_topk": ir_direct.q_wildcard_topk,
+            "contamination": hygiene.q_contamination,
+            "repetition": hygiene.q_repetition,
+            "collocations": hygiene.q_collocations,
+        }
+    )
     for name, q in battery.items():
         run(name, lambda q=q: q(spark, sf_dir).collect())
 
