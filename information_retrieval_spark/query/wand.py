@@ -421,6 +421,16 @@ class WandEngine:
     def search(self, queries: list[QuerySpec]) -> DataFrame:
         """(query_id, rank, doc_id, score) — rank-identical to the
         exhaustive engine for both match modes (okapi25)."""
+        # The packed blocks carry BM25-shaped bounds (max_tf, min_dl);
+        # tf-idf cosine would need per-block norm metadata the index
+        # doesn't store. Refuse loudly rather than silently scoring a
+        # ltn/ltc spec with BM25 (SearchEngine serves those methods).
+        bad = sorted({q.method for q in queries} - {"okapi25"})
+        if bad:
+            raise ValueError(
+                f"WandEngine scores okapi25 only (got {bad}); "
+                "use SearchEngine for ltn-lnn / ltc-lnc"
+            )
         modes = {q.match_mode for q in queries}
         assert len(modes) == 1, "mixed match modes: split the batch"
         mode = modes.pop()

@@ -135,3 +135,16 @@ def test_wand_empty_query_prefix_mode(wand, exhaustive):
     ]
     assert wand.search(specs).count() == 0
     assert exhaustive.search(specs).count() == 0
+
+
+def test_wand_rejects_tfidf_methods(wand):
+    """The packed blocks carry BM25 bounds only — a ltn/ltc spec must be
+    refused loudly, never silently scored as BM25 (SearchEngine is the
+    tf-idf path)."""
+    import pytest as _pytest
+
+    for method in ("ltn-lnn", "ltc-lnc"):
+        spec = [QuerySpec(903, "tokenizer stream", method, 5, spell=False,
+                          match_mode="exact")]
+        with _pytest.raises(ValueError, match="okapi25"):
+            wand.search(spec)
