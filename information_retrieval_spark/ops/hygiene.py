@@ -168,10 +168,15 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
     )
     dw = d.withColumn("words", words)
+    # materialize both (vocabulary-sized) aggregates once: without this
+    # every consumer branch — totals, the x-join, the y-join — re-scans
+    # and re-tokenizes the corpus. At production scale these ARE the
+    # persisted term/bigram count tables.
     uni = (
         dw.select(F.explode("words").alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c1"))
+        .localCheckpoint()
     )
     pairs = F.expr(
         "transform(sequence(1, greatest(size(words) - 1, 0)), "
@@ -182,6 +187,7 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.x", "p.y")
         .groupBy("x", "y")
         .agg(F.count("*").alias("c2"))
+        .localCheckpoint()
     )
     totals = uni.agg(F.sum("c1").alias("n1")).crossJoin(
         bg.agg(F.sum("c2").alias("n2"))
