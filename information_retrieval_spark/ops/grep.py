@@ -124,34 +124,42 @@ SELECT query_id, rank, doc_id, n_matches FROM r WHERE rank <= {TOP_K}
 
 # ------------------------------------------------- trigram-prefiltered path
 
-def q_grep_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same result as :func:`q_grep_topk` via the trigram-index plan:
-    AND-query over distinct character trigrams prefilters candidates, the
-    exact regex verifies only candidates. Shares SQL_GREP_TOPK as oracle
-    (two physical strategies, one logical query)."""
-    d = _docs(spark, sf_dir)
-    lower = F.lower(F.col("text"))
-    tg_expr = F.expr(
-        "transform(sequence(1, greatest(length(t) - 2, 0)), "
-        "i -> substring(t, i, 3))"
-    )
-    doc_tg = (
-        d.withColumn("t", lower)
-        .select("doc_id", F.explode(tg_expr).alias("trigram"))
+_TG_EXPR = (
+    "transform(sequence(1, greatest(length(t) - 2, 0)), "
+    "i -> substring(t, i, 3))"
+)
+
+
+def _doc_trigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, trigram): DISTINCT character trigrams of lower(text)."""
+    return (
+        d.withColumn("t", F.lower(F.col("text")))
+        .select("doc_id", F.explode(F.expr(_TG_EXPR)).alias("trigram"))
         .distinct()
     )
+
+
+def _grep_via_trigrams(
+    spark: SparkSession, doc_tg: DataFrame, d: DataFrame
+) -> DataFrame:
+    """Candidate AND-query over a (doc_id, trigram) relation + exact-regex
+    verify on candidates only; shared by the in-plan and persisted paths."""
     needed_rows = [
         (qid, tri)
         for qid, _, lit in GREP_QUERY_SET
         for tri in _trigrams(lit)
     ]
+    all_needed = sorted({tri for _, tri in needed_rows})
     needed = spark.createDataFrame(needed_rows, "query_id int, trigram string")
     n_req = spark.createDataFrame(
         [(qid, len(_trigrams(lit))) for qid, _, lit in GREP_QUERY_SET],
         "query_id int, n_req int",
     )
+    # explicit isin BEFORE the join: on the persisted table this is the
+    # pushed In(trigram, ...) filter that prunes row groups / partitions.
     cands = (
-        doc_tg.join(F.broadcast(needed), "trigram")
+        doc_tg.filter(F.col("trigram").isin(all_needed))
+        .join(F.broadcast(needed), "trigram")
         .groupBy("query_id", "doc_id")
         .agg(F.count("*").alias("n_have"))
         .join(F.broadcast(n_req), "query_id")
@@ -175,3 +183,45 @@ def q_grep_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", n_col.alias("n_matches")
     ).filter(F.col("n_matches") > 0)
     return _rank_topk(matched)
+
+
+def q_grep_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same result as :func:`q_grep_topk` via the trigram-index plan:
+    AND-query over distinct character trigrams prefilters candidates, the
+    exact regex verifies only candidates. Shares SQL_GREP_TOPK as oracle
+    (two physical strategies, one logical query)."""
+    d = _docs(spark, sf_dir)
+    return _grep_via_trigrams(spark, _doc_trigrams(d), d)
+
+
+# ------------------------------------------------ persisted trigram index
+
+def build_trigram_index(spark: SparkSession, d: DataFrame, out_dir: str) -> None:
+    """Write the distinct (doc_id, trigram) relation as a query-prunable
+    parquet table: hive-partitioned by the trigram's first character and
+    sorted by trigram within files, so a query's In(trigram, ...) filter
+    prunes whole partitions (PartitionFilters) and row groups (min/max on
+    the sorted column). This is the ingest-time artifact the 100 TB grep
+    path reads instead of re-deriving trigrams per query; at that scale it
+    lives in the snapshot catalog next to the packed term index."""
+    tg = _doc_trigrams(d).withColumn(
+        "tg1", F.substring(F.col("trigram"), 1, 1)
+    )
+    (
+        tg.repartition("tg1")
+        .sortWithinPartitions("trigram", "doc_id")
+        .write.partitionBy("tg1")
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+
+
+def grep_persisted(
+    spark: SparkSession, trigram_dir: str, d: DataFrame
+) -> DataFrame:
+    """GREP_QUERY_SET over a persisted trigram index: identical rows to
+    :func:`q_grep_topk`, but the prefilter reads only the needed trigrams'
+    partitions/row groups — the corpus is regexed on candidates only and
+    never scanned for trigrams at query time."""
+    doc_tg = spark.read.parquet(trigram_dir).select("doc_id", "trigram")
+    return _grep_via_trigrams(spark, doc_tg, d)

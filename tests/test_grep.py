@@ -100,3 +100,41 @@ def test_trigram_candidates_are_superset(spark, texts):
             if re.search(regex, low):
                 have = {low[i : i + 3] for i in range(len(low) - 2)}
                 assert need <= have, (qid, did)
+
+
+def test_grep_persisted_equals_brute_and_prunes(spark, tmp_path):
+    """The persisted trigram index returns identical rows AND its scan is
+    pruned: In(trigram) pushed to parquet, partition filter on tg1."""
+    from information_retrieval_spark.ops.grep import (
+        GREP_QUERY_SET,
+        _trigrams,
+        build_trigram_index,
+        grep_persisted,
+        q_grep_topk,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    tg_dir = str(tmp_path / "trigrams")
+    build_trigram_index(spark, d, tg_dir)
+
+    res = grep_persisted(spark, tg_dir, d)
+    got = {(r.query_id, r.rank, r.doc_id, r.n_matches) for r in res.collect()}
+    want = {
+        (r.query_id, r.rank, r.doc_id, r.n_matches)
+        for r in q_grep_topk(spark, SF).collect()
+    }
+    assert got == want
+
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(trigram" in plan
+    # partition pruning on the first-char directory column
+    assert "PartitionFilters" in plan and "tg1" in plan
+    # candidate count sanity: the needed set is a strict subset of all
+    # first-char partitions (pruning is real, not a full read)
+    firsts = {
+        tri[0] for _, _, lit in GREP_QUERY_SET for tri in _trigrams(lit)
+    }
+    all_firsts = {
+        r.tg1 for r in spark.read.parquet(tg_dir).select("tg1").distinct().collect()
+    }
+    assert firsts < all_firsts
