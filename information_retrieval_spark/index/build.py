@@ -276,20 +276,22 @@ class IndexBuilder:
         par = self.spark.sparkContext.defaultParallelism
         if corpus.rdd.getNumPartitions() < par:
             corpus = corpus.repartition(par)
-        corpus = corpus.cache()
+        # cache only when a SECOND pass over the corpus exists (doc_meta):
+        # the main tokenize pass streams the scan straight into the
+        # postings aggregate and otherwise reads the corpus exactly once
+        if self.category_col is not None:
+            corpus = corpus.cache()
+        # n_docs rides the postings_all pass as an Observation — the
+        # separate corpus.count() job it replaces was a flat ~2-3 s on the
+        # build's sequential critical path (Amdahl floor at high
+        # parallelism), for a number the big pass computes anyway
+        from pyspark.sql import Observation
+
+        obs_docs = Observation()
         tokens = tokenize_corpus(
-            corpus, self.sections, self.tokenizer, self.doc_id_col
+            corpus.observe(obs_docs, F.count(F.lit(1)).alias("n_docs")),
+            self.sections, self.tokenizer, self.doc_id_col,
         )
-
-        # stage 1: corpus stats (n_docs = FULL corpus size, quirk Q1 tf-idf N)
-        def s_stats():
-            n_docs = corpus.count()
-            pd.DataFrame({"n_docs": [n_docs]}).to_parquet(
-                self._ensure(self.path("stats")) + "/stats.parquet"
-            )
-            return {"n_docs": n_docs}
-
-        stage("stats", s_stats)
 
         # stage 1b: doc_meta — (doc_id, category) for query-time category
         # filtering (P4/U4). Sorted by doc_id so the matched-stream join
@@ -341,8 +343,25 @@ class IndexBuilder:
             _write(tf, self.path("postings_all"))
             return {}
 
+        fresh_postings_all = not self._done("postings_all")
         stage("postings_all", s_postings_all)
         postings_all = self.spark.read.parquet(self.path("postings_all"))
+
+        # stage 1: corpus stats (n_docs = FULL corpus size, quirk Q1 tf-idf
+        # N) — free when postings_all just ran (Observation above); a
+        # resumed build that skipped postings_all counts the corpus itself
+        def s_stats():
+            n_docs = (
+                int(obs_docs.get["n_docs"])
+                if fresh_postings_all
+                else corpus.count()
+            )
+            pd.DataFrame({"n_docs": [n_docs]}).to_parquet(
+                self._ensure(self.path("stats")) + "/stats.parquet"
+            )
+            return {"n_docs": n_docs}
+
+        stage("stats", s_stats)
 
         # stage 3: stop-words — corpus-relative top-K by token count = Σ tf
         # (quirk Q6), ties (count desc, term asc); or a pinned list
@@ -382,7 +401,6 @@ class IndexBuilder:
         stage("stop", s_stop)
 
         stop_df = self.spark.read.parquet(self.path("stopwords"))
-        stop_terms = [r.term for r in stop_df.collect()]
 
         # stage 4: flat postings = non-stop subset, globally sorted by term
         # → parquet min/max row-group stats prune query-term lookups.
@@ -393,7 +411,12 @@ class IndexBuilder:
         # table (at 10^12 docs that join is the exhaustive path's scale
         # killer). Map entries are sorted → deterministic file bytes.
         def s_postings():
-            non_stop = postings_all.filter(~F.col("term").isin(stop_terms))
+            # stop removal is a broadcast LEFT ANTI join (the top-K frame
+            # is K rows) — no driver collect / isin literal list, so the
+            # stop list never makes a driver round-trip
+            non_stop = postings_all.join(
+                F.broadcast(stop_df.select("term")), "term", "left_anti"
+            )
             dlmap = (
                 non_stop.groupBy("doc_id", "section")
                 .agg(F.sum("tf").cast("long").alias("dl"))
@@ -408,9 +431,13 @@ class IndexBuilder:
                 max(self.spark.sparkContext.defaultParallelism, 8),
                 "term", "section", "doc_id",
             )
+            # row count rides the write as an Observation (above the range
+            # exchange, so its sampling pre-pass can't report a partial
+            # count) instead of a full re-read of the written table
+            obs_rows = Observation()
+            out = out.observe(obs_rows, F.count(F.lit(1)).alias("rows"))
             _write(out, self.path("postings_flat"), ["term", "section", "doc_id"])
-            n = self.spark.read.parquet(self.path("postings_flat")).count()
-            return {"rows": n}
+            return {"rows": int(obs_rows.get["rows"])}
 
         stage("postings", s_postings)
 
@@ -449,40 +476,43 @@ class IndexBuilder:
         # max_tf/min_dl — the north_star layout; index/pack.py). Packed
         # from the EXPLICIT legacy paths this build just wrote — resolving
         # through a pre-existing catalog here would union stale delta dirs
-        # from before an in-place rebuild into the new pack.
+        # from before an in-place rebuild into the new pack. dl comes off
+        # the dls map embedded on every postings_flat row (pack.py), so
+        # pack needs NO doclen input and no posting-sized join.
         def s_packed():
             from information_retrieval_spark.index.pack import pack_postings
 
             pack_postings(
                 self.spark.read.parquet(self.path("postings_flat")),
-                self.spark.read.parquet(self.path("doclen")),
+                None,
                 self.path("packed"),
             )
             return {}
 
-        # doclen / term_df / vocab depend only on the committed postings
-        # tables, and packed only additionally on doclen — so they are
-        # SUBMITTED CONCURRENTLY: these are small fixed-latency jobs
-        # (driver scheduling + one tiny shuffle + a write), and sequential
-        # execution makes them the Amdahl floor of the whole build once
-        # tokenization is fast. Overlapping them is exactly what a DAG
-        # scheduler on a real cluster does; the Spark scheduler
-        # interleaves jobs from threads. Each stage still commits its own
-        # manifest entry (lock-guarded), so resume semantics are
-        # unchanged.
+        # doclen / term_df / vocab / packed all depend ONLY on the
+        # committed postings tables — so they are SUBMITTED CONCURRENTLY:
+        # doclen/term_df/vocab are small fixed-latency jobs (driver
+        # scheduling + one tiny shuffle + a write) that now hide entirely
+        # under the packed job, and sequential execution would make them
+        # the Amdahl floor of the whole build once tokenization is fast.
+        # Overlapping them is exactly what a DAG scheduler on a real
+        # cluster does; the Spark scheduler interleaves jobs from threads.
+        # Each stage still commits its own manifest entry (lock-guarded),
+        # so resume semantics are unchanged.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=4) as ex:
-            f_doclen = ex.submit(stage, "doclen", s_doclen)
-            f_rest = [
+            futs = [
                 ex.submit(stage, name, fn)
-                for name, fn in (("term_df", s_term_df), ("vocab", s_vocab))
+                for name, fn in (
+                    ("packed", s_packed),
+                    ("doclen", s_doclen),
+                    ("term_df", s_term_df),
+                    ("vocab", s_vocab),
+                )
             ]
-            f_doclen.result()  # packed reads doclen (per-posting dl blocks)
-            f_packed = ex.submit(stage, "packed", s_packed)
-            for f in f_rest:
+            for f in futs:
                 f.result()
-            f_packed.result()
 
         # stage 9: lineage/metrics — per-partition accounting of every core
         # table (north_rule: per-partition lineage + metrics). Each row:

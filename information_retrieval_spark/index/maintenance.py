@@ -293,22 +293,23 @@ class IndexMaintenance:
             st.to_parquet(os.path.join(p("stats"), "stats.parquet"))
             return n
 
-        with ThreadPoolExecutor(max_workers=5) as ex:
-            f_doclen = ex.submit(s_doclen)
-            f_rest = [
-                ex.submit(fn)
-                for fn in (s_vocab, s_term_df, s_doc_meta)
-            ]
-            f_stats = ex.submit(s_stats)
-            f_doclen.result()  # pack needs the delta doclen
+        def s_pack():
             # the delta's OWN packed segment — pack cost ∝ delta size; the
             # live packed segments are untouched (LSM append, merged at
-            # compact)
-            dl = spark.read.parquet(p("doclen_delta"))
-            pack_postings(tf, dl, p("packed_delta"))
-            for f in f_rest:
+            # compact). dl comes off the embedded dls map (pack.py), so
+            # pack is independent of s_doclen and overlaps it fully.
+            pack_postings(tf, None, p("packed_delta"))
+
+        with ThreadPoolExecutor(max_workers=6) as ex:
+            futs = [
+                ex.submit(fn)
+                for fn in (s_pack, s_doclen, s_vocab, s_term_df, s_doc_meta)
+            ]
+            f_stats = ex.submit(s_stats)
+            for f in futs:
                 f.result()
             n_add = f_stats.result()
+        dl = spark.read.parquet(p("doclen_delta"))
 
         # per-partition lineage of the delta's tables (append-only log)
         lineage_frame(

@@ -106,23 +106,43 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
 
 
-def pack_postings(postings: DataFrame, doclen: DataFrame, out: str) -> str:
+def pack_postings(
+    postings: DataFrame, doclen: DataFrame | None, out: str
+) -> str:
     """Pack ONE coherent posting set (a full index, or one LSM segment's
     delta — index/maintenance.py) into a sorted block-max shard dir.
     Callers pass EXPLICIT inputs — there is deliberately no
     resolve-from-index-dir convenience, because packing through the
     catalog during an in-place rebuild would union stale delta dirs.
 
-    Plan: postings ⨝ doclen → ONE shuffle: hash-repartition on the group
+    Plan: when the postings rows carry the denormalized ``dls`` map
+    (build.py s_postings embeds the doc's full {section: dl} vector on
+    every row), dl is read straight off the row — NO join, so the only
+    posting-sized shuffle in the whole pack is the group-key repartition
+    below. ``doclen`` is the fallback for dls-less posting frames (one
+    extra shuffle join). Then ONE shuffle: hash-repartition on the group
     key + sortWithinPartitions(key, doc_id) → ``mapInPandas`` packs whole
     partitions (cross-batch carry keeps a group's run contiguous). Written
     range-partitioned + sorted by term so parquet row-group min/max stats
     prune query-term lookups.
     """
     spark = postings.sparkSession
-    joined = postings.select("term", "section", "bucket", "doc_id", "tf").join(
-        doclen, ["doc_id", "section"]
-    )
+    if "dls" in postings.columns:
+        # dls always contains the row's own section (the row is itself a
+        # non-stop posting of that (doc, section)), so element_at is total
+        joined = postings.select(
+            "term", "section", "bucket", "doc_id", "tf",
+            F.expr("dls[section]").cast("long").alias("dl"),
+        )
+    else:
+        if doclen is None:
+            raise ValueError(
+                "pack_postings: postings lack a 'dls' column and no doclen"
+                " frame was provided"
+            )
+        joined = postings.select(
+            "term", "section", "bucket", "doc_id", "tf"
+        ).join(doclen, ["doc_id", "section"])
     n_part = max(spark.sparkContext.defaultParallelism, 8)
     cols = [f.name for f in PACKED_SCHEMA.fields]
 
