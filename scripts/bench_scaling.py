@@ -163,20 +163,24 @@ def main() -> None:
         for r in runs
     )
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
-        f.write(f"""# BENCH — measured performance + scaling evidence
+    # APPEND a dated batch section — BENCH/BASELINE.md is hand-curated
+    # (multiple batches, incremental/fan-in/sf1.0 evidence); rewriting it
+    # wholesale destroyed curated sections in earlier rounds
+    import datetime
+
+    stamp = datetime.datetime.now(datetime.timezone.utc).strftime(
+        "%Y-%m-%d %H:%MZ"
+    )
+    with open("BENCH/BASELINE.md", "a") as f:
+        f.write(f"""
+
+## Scaling batch (appended {stamp})
 
 Generated by `python scripts/bench_scaling.py` (deterministic synthetic code
-corpus, {N_DOCS} files, code tokenizer, full build: tokenize → stop-words →
-doclen → postings → term_df → vocab → lineage → packed block-max shards;
-query: block-max WAND, 18-query BM25 batch ×{QUERY_REPS}, p50).
-**{N_RUNS} full runs; the reported efficiency is the MEDIAN across runs**
-(single-run numbers on this sandbox vary with background load).
-
-The north_rule's two-cluster-size criterion (≥0.8 efficiency N→4N
-executors) cannot use a real cluster in this sandbox; per the task
-instruction it is evidenced by the SAME job at two local parallelism
-levels on the SAME input.
+corpus, {N_DOCS} files, code tokenizer, full build; query: block-max WAND,
+18-query BM25 batch ×{QUERY_REPS}, p50). **{N_RUNS} full runs; the
+reported efficiency is the MEDIAN across runs** (single-run numbers on
+this sandbox vary with background load).
 
 | run | build@{n} (s) | files/s@{n} | build@{n4} (s) | files/s@{n4} | per-core eff | WAND p50@{n} (s) | WAND p50@{n4} (s) | q speedup |
 |---|---|---|---|---|---|---|---|---|
