@@ -363,13 +363,17 @@ def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = q_pagerank(spark, sf_dir)
     wq = Window.partitionBy("query_id")
     bmn = bm.withColumn("s_norm", F.col("score_r") / F.max("score_r").over(wq))
-    pr_max = pr.agg(F.max("pr_r").alias("m")).collect()[0].m
+    # global PageRank max stays in-plan as a one-row broadcast (same
+    # pattern as the HITS norms): no driver job, no recomputation of the
+    # post-checkpoint iterations just to fetch a scalar
+    pr_mx = pr.agg(F.max("pr_r").alias("pr_max"))
     fused = (
         bmn.join(pr, "doc_id")
+        .crossJoin(F.broadcast(pr_mx))
         .withColumn(
             "fused",
             (1 - FUSION_PW) * F.col("s_norm")
-            + FUSION_PW * (F.col("pr_r") / F.lit(float(pr_max))),
+            + FUSION_PW * (F.col("pr_r") / F.col("pr_max")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
