@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": ir_direct.q_bm25_topk,           # F8/F10 + Q1-Q3, T1
         "bm25_topk_lang": ir_direct.q_bm25_topk_lang, # P4/U4 category filter
         "bm25_filtered": ir_direct.q_bm25_filtered,   # must/must_not + BM25
+        "champion_topk": ir_direct.q_champion_topk,   # pruned champion lists
         "tfidf_ltn": ir_direct.q_tfidf_ltn,           # F6/F9
         "tfidf_ltc": ir_direct.q_tfidf_ltc,           # F6/F7/F9
         "mlt_topk": ir_direct.q_mlt_topk,             # more-like-this
@@ -133,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": ir_direct.SQL_BM25_TOPK,
         "bm25_topk_lang": ir_direct.SQL_BM25_TOPK_LANG,
         "bm25_filtered": ir_direct.SQL_BM25_FILTERED,
+        "champion_topk": ir_direct.SQL_CHAMPION_TOPK,
         "tfidf_ltn": ir_direct.SQL_TFIDF_LTN,
         "tfidf_ltc": ir_direct.SQL_TFIDF_LTC,
         "mlt_topk": ir_direct.SQL_MLT_TOPK,

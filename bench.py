@@ -90,6 +90,7 @@ def main() -> None:
             "wand_topk": engine_entry.q_wand_topk,
             "wand_filtered": engine_entry.q_wand_filtered,
             "bm25_filtered": ir_direct.q_bm25_filtered,
+            "champion_topk": ir_direct.q_champion_topk,
             "phrase_topk": ir_direct.q_phrase_topk,
             "phrase_index": engine_entry.q_phrase_index,
             "prox_topk": ir_direct.q_prox_topk,

@@ -244,6 +244,7 @@ def _bm25_topk(
     lang: str | None,
     term_filters: dict[int, tuple[str, str]] | None = None,
     qterms_fn=None,
+    prune_m: int | None = None,
 ) -> DataFrame:
     docs = load_documents(spark, sf_dir)
     # ONE corpus scan: aggregate to (doc_id, term, tf) first, then derive
@@ -270,6 +271,38 @@ def _bm25_topk(
     # qterms_fn lets callers derive query terms FROM the indexed
     # vocabulary (wildcard expansion) instead of the inline query set.
     qt = qterms_fn(tf) if qterms_fn is not None else _qterms(spark)
+    if prune_m is not None:
+        # champion lists (static index pruning): keep only each term's
+        # top-m postings by IMPACT — the doclen-normalized BM25 tf
+        # quotient tf/(tf + K1·(1−B + B·dl/avgdl_global)) — not raw tf,
+        # so short relevant docs survive pruning (IIR §7.1.2's refinement;
+        # raw-tf champions systematically lose them). The global avgdl is
+        # a one-row broadcast kept in-plan. Doc norms (dl) stay EXACT —
+        # computed above from the unpruned postings, as a pruned index
+        # stores true doclens — while matching, n_cand, avgdl and df all
+        # see only the pruned lists (the pruned index IS the index). The
+        # per-term window partitions are Zipf-tail-bounded: the head
+        # terms that would skew it are exactly the index-level stop list
+        # removed just above.
+        g_avg = dl.agg(F.avg("dl").alias("g_avgdl"))
+        wc = Window.partitionBy("term").orderBy(
+            F.desc(F.round("impact", 9)), F.asc("doc_id")
+        )
+        tf = (
+            tf.join(dl, "doc_id")
+            .crossJoin(F.broadcast(g_avg))
+            .withColumn(
+                "impact",
+                F.col("tf")
+                / (
+                    F.col("tf")
+                    + K1 * (1 - B + B * F.col("dl") / F.col("g_avgdl"))
+                ),
+            )
+            .withColumn("__rn", F.row_number().over(wc))
+            .filter(F.col("__rn") <= prune_m)
+            .select("doc_id", "term", "tf")
+        )
 
     m = tf.join(F.broadcast(qt), tf.term == qt.qterm).select(
         "query_id", "qterm", "mult", "doc_id", "tf"
@@ -355,10 +388,29 @@ def _sql_bm25_topk(
     lang: str | None,
     term_filters: dict[int, tuple[str, str]] | None = None,
     qterms_sql: str | None = None,
+    prune_m: int | None = None,
 ) -> str:
     lang_pred = (
         f"\n  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = '{lang}')"
         if lang is not None
+        else ""
+    )
+    src = "champ" if prune_m is not None else "tf"
+    champ_cte = (
+        f""",
+gavg AS (SELECT avg(dl) AS g_avgdl FROM dl),
+champ AS (
+  SELECT doc_id, term, tf FROM (
+    SELECT tf.doc_id, tf.term, tf.tf, row_number() OVER (
+      PARTITION BY tf.term
+      ORDER BY round(
+        tf.tf / (tf.tf + {K1} * (1 - {B} + {B} * dl.dl / gavg.g_avgdl)), 9
+      ) DESC, tf.doc_id ASC
+    ) AS rn
+    FROM tf JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN gavg
+  ) WHERE rn <= {prune_m}
+)"""
+        if prune_m is not None
         else ""
     )
     if term_filters:
@@ -369,7 +421,7 @@ def _sql_bm25_topk(
             "(NULL, NULL)"
         filter_ctes = f"""m0 AS (
   SELECT qt.query_id, qt.qterm, qt.mult, tf.doc_id, tf.tf
-  FROM tf JOIN qt ON tf.term = qt.qterm{lang_pred}
+  FROM {src} tf JOIN qt ON tf.term = qt.qterm{lang_pred}
 ),
 mus AS (SELECT * FROM (VALUES {mus}) u(query_id, mterm, n_must)
         WHERE query_id IS NOT NULL),
@@ -399,7 +451,7 @@ m AS (
     else:
         filter_ctes = f"""m AS (
   SELECT qt.query_id, qt.qterm, qt.mult, tf.doc_id, tf.tf
-  FROM tf JOIN qt ON tf.term = qt.qterm{lang_pred}
+  FROM {src} tf JOIN qt ON tf.term = qt.qterm{lang_pred}
 )"""
     return f"""
 WITH toks AS ({SQL_TOKENS}),
@@ -407,7 +459,7 @@ stop AS ({sql_stop(STOP_K)}),
 ns AS (SELECT * FROM toks WHERE term NOT IN (SELECT term FROM stop)),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM ns GROUP BY doc_id, term),
 dl AS (SELECT doc_id, count(*) AS dl FROM ns GROUP BY doc_id),
-qt AS ({qterms_sql if qterms_sql is not None else SQL_QTERMS}),
+qt AS ({qterms_sql if qterms_sql is not None else SQL_QTERMS}){champ_cte},
 {filter_ctes},
 cand AS (SELECT DISTINCT query_id, doc_id FROM m),
 nq AS (SELECT query_id, count(*) AS n_cand FROM cand GROUP BY query_id),
@@ -449,6 +501,30 @@ WHERE rank <= {TOP_K}
 SQL_BM25_TOPK = _sql_bm25_topk(None)
 SQL_BM25_TOPK_LANG = _sql_bm25_topk(FILTER_LANG)
 SQL_BM25_FILTERED = _sql_bm25_topk(None, BM25_FILTER_SET)
+
+# champion-list size: per-term pruned posting prefix length (IIR §7.1.2)
+CHAMP_M = 25
+SQL_CHAMPION_TOPK = _sql_bm25_topk(None, prune_m=CHAMP_M)
+
+
+def q_champion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion-list (impact-ordered static index pruning) BM25 top-10
+    (beyond-ref; Manning IIR §7.1.2 — the reference scores every posting of
+    every query term, `common.py:120-143`, which a web-scale first phase
+    cannot afford): offline, each term keeps only its top-``CHAMP_M``
+    postings by (tf desc, doc_id asc); a query unions ONLY those champion
+    lists, so the candidate set is O(m·|q|) — independent of corpus size —
+    and the full BM25 math (exact doclens, pruned-index df/n_cand/avgdl)
+    reranks it.
+
+    Plan shape: one extra per-term top-m window over the postings table
+    (partition key = term; bounded because the Zipf head is exactly the
+    index-level stop list removed first), then the standard BM25 plan over
+    the far smaller pruned relation. At 100 TB the champion table is
+    precomputed once at index-build time and replaces the postings scan in
+    the hot path; df-by-term and the champion prefix are both per-term,
+    so pruning adds no new shuffle key."""
+    return _bm25_topk(spark, sf_dir, lang=None, prune_m=CHAMP_M)
 
 
 def q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
