@@ -417,8 +417,16 @@ class IndexBuilder:
             non_stop = postings_all.join(
                 F.broadcast(stop_df.select("term")), "term", "left_anti"
             )
+            n_part = max(self.spark.sparkContext.defaultParallelism, 8)
+            # ONE explicit doc_id exchange feeds both the dl aggregation
+            # (HashPartitioning(doc_id) satisfies every doc-keyed grouping
+            # below, so neither groupBy adds an exchange) AND the join's
+            # probe side (co-partitioned → no join exchange, and Spark
+            # reuses the single shuffle for both consumers). The former
+            # plan shuffled the posting-sized frame three times here.
+            ns = non_stop.repartition(n_part, "doc_id")
             dlmap = (
-                non_stop.groupBy("doc_id", "section")
+                ns.groupBy("doc_id", "section")
                 .agg(F.sum("tf").cast("long").alias("dl"))
                 .groupBy("doc_id")
                 .agg(
@@ -427,9 +435,8 @@ class IndexBuilder:
                     ).alias("dls")
                 )
             )
-            out = non_stop.join(dlmap, "doc_id").repartitionByRange(
-                max(self.spark.sparkContext.defaultParallelism, 8),
-                "term", "section", "doc_id",
+            out = ns.join(dlmap, "doc_id").repartitionByRange(
+                n_part, "term", "section", "doc_id",
             )
             # row count rides the write as an Observation (above the range
             # exchange, so its sampling pre-pass can't report a partial

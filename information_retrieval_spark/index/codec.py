@@ -23,30 +23,41 @@ from __future__ import annotations
 import numpy as np
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """Encode a non-negative int array as concatenated LEB128 varints."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """Encode a non-negative int array as concatenated LEB128 varints,
+    returning ``(buffer, offsets)`` where ``offsets`` has ``len+1`` entries
+    and value ``i`` occupies ``buffer[offsets[i]:offsets[i+1]]``. Values are
+    encoded independently, so slicing the buffer at any value boundary
+    yields exactly the bytes a separate encode of that slice would — the
+    packer (index/pack.py) encodes a whole sorted column ONCE and slices
+    per-block ranges out, instead of one encode call per block."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: 1 + floor(bit_length-1 / 7)
-    bits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
+        return b"", np.zeros(1, dtype=np.int64)
+    # bytes per value = how many 7-bit groups it spans (≥1)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
     while True:
         nz = tmp > 0
         if not nz.any():
             break
-        bits[nz] += 1
-        tmp = tmp >> np.uint64(1)
-    nbytes = np.maximum((bits + 6) // 7, 1)
-    offsets = np.concatenate(([0], np.cumsum(nbytes)[:-1]))
-    out = np.zeros(int(nbytes.sum()), dtype=np.uint8)
+        nbytes[nz] += 1
+        tmp = tmp >> np.uint64(7)
+    offsets = np.concatenate(([0], np.cumsum(nbytes)))
+    out = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    starts = offsets[:-1]
     max_b = int(nbytes.max())
     for k in range(max_b):
         sel = nbytes > k
         byte = (v[sel] >> np.uint64(7 * k)) & np.uint64(0x7F)
         cont = (nbytes[sel] - 1 > k).astype(np.uint8) << 7
-        out[offsets[sel] + k] = byte.astype(np.uint8) | cont
-    return out.tobytes()
+        out[starts[sel] + k] = byte.astype(np.uint8) | cont
+    return out.tobytes(), offsets
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """Encode a non-negative int array as concatenated LEB128 varints."""
+    return varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:

@@ -17,10 +17,11 @@ Turns the flat postings table (`index/build.py`) into compressed shard rows:
   for ANY avgdl — the per-query idf/avgdl (quirks Q1/Q2) are applied at
   query time, which is why the block stores tf-side components only
   (SURVEY.md §7 hard-part b).
-* packing runs in ``mapInPandas`` over partitions hash-keyed and sorted by
+* packing runs in ``mapInPandas`` over partitions range-keyed and sorted by
   (term, section, bucket, doc_id) — one numpy group-boundary scan per Arrow
-  batch with cross-batch carry (6× faster than per-group applyInPandas);
-  output written sorted by term so parquet row-group min/max stats prune
+  batch with cross-batch carry, whole-column varint encodes sliced at block
+  boundaries (no per-block codec calls); output order inherits the range
+  exchange + sort, so parquet file and row-group min/max stats both prune
   query-term lookups.
 
 Reference parity: the persisted logical model is the reference's flat
@@ -37,7 +38,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from information_retrieval_spark.index.codec import encode_doc_gaps, varint_encode
+from information_retrieval_spark.index.codec import varint_encode_offsets
 
 BLOCK = 128
 
@@ -60,50 +61,88 @@ PACKED_SCHEMA = T.StructType(
 
 
 
-def _pack_rows(pdf: pd.DataFrame, rows: list) -> None:
-    """Sorted (term, section, bucket, doc_id) rows → block tuples appended
-    to ``rows``. One numpy groupby over the whole frame — no per-group
-    pandas objects (that overhead dominated the applyInPandas variant)."""
-    terms = pdf["term"].to_numpy()
-    secs = pdf["section"].to_numpy()
+def _key_change(pdf: pd.DataFrame) -> np.ndarray:
+    """Boolean mask: row i starts a new (term, section, bucket) group.
+    Strings are factorized to int codes first (one C-level hash pass) —
+    elementwise object-array comparisons were the profile's hot spot."""
+    n = len(pdf)
+    change = np.empty(n, dtype=bool)
+    if n == 0:
+        return change
+    t_codes = pd.factorize(pdf["term"], use_na_sentinel=False)[0]
+    s_codes = pd.factorize(pdf["section"], use_na_sentinel=False)[0]
     bucks = pdf["bucket"].to_numpy()
+    change[0] = True
+    change[1:] = (
+        (t_codes[1:] != t_codes[:-1])
+        | (s_codes[1:] != s_codes[:-1])
+        | (bucks[1:] != bucks[:-1])
+    )
+    return change
+
+
+def _pack_frame(
+    pdf: pd.DataFrame, change: np.ndarray | None = None
+) -> pd.DataFrame:
+    """Sorted (term, section, bucket, doc_id) rows → block rows, fully
+    vectorized: block boundaries and per-block (n, first/last doc, max_tf,
+    min_dl) come from one ``reduceat`` pass, and each binary column is
+    varint-encoded ONCE for the whole frame with per-block byte ranges
+    sliced out (LEB128 values are independent, so the slices are
+    byte-identical to per-block encodes). No per-group Python remains —
+    the former per-block codec calls dominated the pack stage's profile."""
+    n = len(pdf)
+    cols = [f.name for f in PACKED_SCHEMA.fields]
+    if n == 0:
+        return pd.DataFrame({c: [] for c in cols})
+    if change is None:
+        change = _key_change(pdf)
     docs = pdf["doc_id"].to_numpy(np.uint64)
     tfs = pdf["tf"].to_numpy(np.uint64)
     dls = pdf["dl"].to_numpy(np.uint64)
-    n = len(pdf)
-    if n == 0:
-        return
-    change = np.empty(n, dtype=bool)
-    change[0] = True
-    change[1:] = (
-        (terms[1:] != terms[:-1])
-        | (secs[1:] != secs[:-1])
-        | (bucks[1:] != bucks[:-1])
+    gstarts = np.flatnonzero(change)
+    glens = np.diff(np.append(gstarts, n))
+    # ordinal of each row within its group → block starts every BLOCK rows
+    gidx = np.arange(n) - np.repeat(gstarts, glens)
+    bstarts = np.flatnonzero(change | (gidx % BLOCK == 0))
+    bends = np.append(bstarts[1:], n)
+    # delta-gap doc ids, reset at every block start (first value raw)
+    gaps = np.empty_like(docs)
+    gaps[0] = docs[0]
+    gaps[1:] = docs[1:] - docs[:-1]
+    gaps[bstarts] = docs[bstarts]
+    docs_buf, d_off = varint_encode_offsets(gaps)
+    tfs_buf, t_off = varint_encode_offsets(tfs)
+    dls_buf, l_off = varint_encode_offsets(dls)
+    return pd.DataFrame(
+        {
+            "term": pdf["term"].to_numpy()[bstarts],
+            "section": pdf["section"].to_numpy()[bstarts],
+            "bucket": pdf["bucket"].to_numpy()[bstarts].astype(np.int32),
+            "block_id": (gidx[bstarts] // BLOCK).astype(np.int32),
+            "n": (bends - bstarts).astype(np.int32),
+            "first_doc": docs[bstarts].astype(np.int64),
+            "last_doc": docs[bends - 1].astype(np.int64),
+            "docs_bin": [
+                docs_buf[d_off[s] : d_off[e]] for s, e in zip(bstarts, bends)
+            ],
+            "tfs_bin": [
+                tfs_buf[t_off[s] : t_off[e]] for s, e in zip(bstarts, bends)
+            ],
+            "dls_bin": [
+                dls_buf[l_off[s] : l_off[e]] for s, e in zip(bstarts, bends)
+            ],
+            "max_tf": np.maximum.reduceat(tfs, bstarts).astype(np.int32),
+            "min_dl": np.minimum.reduceat(dls, bstarts).astype(np.int32),
+        },
+        columns=cols,
     )
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], n)
-    for g0, g1 in zip(starts, ends):
-        term, section, bucket = terms[g0], secs[g0], int(bucks[g0])
-        for b, s in enumerate(range(g0, g1, BLOCK)):
-            e = min(s + BLOCK, g1)
-            d, t, l = docs[s:e], tfs[s:e], dls[s:e]
-            rows.append(
-                (
-                    term, section, bucket, b, len(d),
-                    int(d[0]), int(d[-1]),
-                    encode_doc_gaps(d), varint_encode(t), varint_encode(l),
-                    int(t.max()), int(l.min()),
-                )
-            )
 
 
 def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """One (term, section, bucket) posting run → block rows (applyInPandas
     entry point, kept for callers packing a single group)."""
-    pdf = pdf.sort_values("doc_id")
-    rows: list = []
-    _pack_rows(pdf, rows)
-    return pd.DataFrame(rows, columns=[f.name for f in PACKED_SCHEMA.fields])
+    return _pack_frame(pdf.sort_values("doc_id"))
 
 
 def pack_postings(
@@ -118,13 +157,19 @@ def pack_postings(
     Plan: when the postings rows carry the denormalized ``dls`` map
     (build.py s_postings embeds the doc's full {section: dl} vector on
     every row), dl is read straight off the row — NO join, so the only
-    posting-sized shuffle in the whole pack is the group-key repartition
+    posting-sized shuffle in the whole pack is the group-key exchange
     below. ``doclen`` is the fallback for dls-less posting frames (one
-    extra shuffle join). Then ONE shuffle: hash-repartition on the group
-    key + sortWithinPartitions(key, doc_id) → ``mapInPandas`` packs whole
-    partitions (cross-batch carry keeps a group's run contiguous). Written
-    range-partitioned + sorted by term so parquet row-group min/max stats
-    prune query-term lookups.
+    extra shuffle join). Then ONE range exchange on (term, section,
+    bucket) — rows equal on all range keys land in one partition, so
+    groups stay atomic — + sortWithinPartitions(key, doc_id) →
+    ``mapInPandas`` packs whole partitions (cross-batch carry keeps a
+    group's run contiguous) → direct write. The output inherits the
+    exchange's global range order and the within-partition sort, so files
+    AND row groups carry tight term min/max stats for query pruning.
+    (The former plan exchanged twice — hash before the packer, range
+    after — and the post-packer RangePartitioner's sampling pass re-ran
+    the whole Python encode; callers pass materialized scans, so sampling
+    the input side is one cheap parquet read.)
     """
     spark = postings.sparkSession
     if "dls" in postings.columns:
@@ -144,7 +189,6 @@ def pack_postings(
             "term", "section", "bucket", "doc_id", "tf"
         ).join(doclen, ["doc_id", "section"])
     n_part = max(spark.sparkContext.defaultParallelism, 8)
-    cols = [f.name for f in PACKED_SCHEMA.fields]
 
     def pack_partition(batches):
         carry = None
@@ -154,34 +198,29 @@ def pack_postings(
             if len(pdf) == 0:
                 continue
             # the last group may continue in the next Arrow batch: hold it
-            last = pdf.iloc[-1]
-            tail = (
-                (pdf["term"].to_numpy() == last["term"])
-                & (pdf["section"].to_numpy() == last["section"])
-                & (pdf["bucket"].to_numpy() == last["bucket"])
-            )
-            split = len(pdf) - int(tail.sum())
+            change = _key_change(pdf)
+            split = int(np.flatnonzero(change)[-1])
             carry = pdf.iloc[split:]
-            rows: list = []
-            _pack_rows(pdf.iloc[:split], rows)
-            if rows:
-                yield pd.DataFrame(rows, columns=cols)
+            if split:
+                yield _pack_frame(pdf.iloc[:split], change[:split])
         if carry is not None and len(carry):
-            rows = []
-            _pack_rows(carry, rows)
-            yield pd.DataFrame(rows, columns=cols)
+            yield _pack_frame(carry.reset_index(drop=True))
 
     packed = (
-        joined.repartition(n_part, "term", "section", "bucket")
+        joined.repartitionByRange(n_part, "term", "section", "bucket")
         .sortWithinPartitions("term", "section", "bucket", "doc_id")
         .mapInPandas(pack_partition, PACKED_SCHEMA)
     )
-    (
-        packed.repartitionByRange(n_part, "term", "section", "bucket")
-        .sortWithinPartitions("term", "section", "bucket", "block_id")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
+    # bigger Arrow batches for the packer: fewer carry splices / group-mask
+    # passes per partition. Scoped + restored — the session default (10k)
+    # is sized for wide tokenizer rows, packer rows are 6 narrow columns.
+    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(arrow_key)
+    spark.conf.set(arrow_key, "65536")
+    try:
+        packed.write.mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set(arrow_key, prev)
     return out
 
 
