@@ -402,8 +402,23 @@ class IndexBuilder:
 
         stop_df = self.spark.read.parquet(self.path("stopwords"))
 
-        # stage 4: flat postings = non-stop subset, globally sorted by term
-        # → parquet min/max row-group stats prune query-term lookups.
+        # stage 4: flat postings = non-stop subset, hash-clustered by
+        # (term, bucket) and sorted by (term, section, doc_id) within each
+        # partition → parquet ROW-GROUP min/max stats prune query-term
+        # lookups (each row group covers a narrow term range). The cluster
+        # exchange is a plain hash repartition, NOT repartitionByRange: a
+        # range exchange runs a RangePartitioner sampling job that
+        # re-executes this stage's whole upstream (anti join + doc_id
+        # shuffle + dlmap aggregation + join) a second time — measured as
+        # the single largest flat cost of the build at high parallelism.
+        # File-level range pruning is deliberately left to the PACKED
+        # layout (pack.py range-partitions from this materialized table,
+        # where the sampling pass is one cheap parquet scan) — packed is
+        # the production query path; postings_flat serves derivation jobs
+        # (full scans) and the exhaustive cross-check engine (row-group
+        # pruning suffices). Including ``bucket`` in the hash key splits a
+        # head term's postings across n_buckets partitions — same explicit
+        # skew bound as the packed layout (SURVEY §4.1).
         # Every row additionally carries its doc's full {section: dl} map
         # (``dls``) — the Lucene-norms-style denormalization: query-time
         # BM25 reads dl AND the per-query avgdl straight off the matched
@@ -418,16 +433,23 @@ class IndexBuilder:
                 F.broadcast(stop_df.select("term")), "term", "left_anti"
             )
             n_part = max(self.spark.sparkContext.defaultParallelism, 8)
-            # ONE explicit doc_id exchange feeds both the dl aggregation
-            # (HashPartitioning(doc_id) satisfies every doc-keyed grouping
-            # below, so neither groupBy adds an exchange) AND the join's
-            # probe side (co-partitioned → no join exchange, and Spark
-            # reuses the single shuffle for both consumers). The former
-            # plan shuffled the posting-sized frame three times here.
             ns = non_stop.repartition(n_part, "doc_id")
+            # doclen is written HERE, as the first job of this stage: the
+            # (doc_id, section) dl aggregate is the join input this stage
+            # needs anyway, and computing it once — written to the
+            # doc-grain doclen table, read back (tiny) as the dlmap build
+            # side — replaces the former plan's TWO posting-grain dl
+            # aggregations (one inline as the join's subplan, one as a
+            # separate doclen stage re-scanning postings_flat in the
+            # concurrent pool). The doc_id exchange is recomputed by the
+            # second job (shuffle reuse doesn't cross actions) — a scan +
+            # broadcast anti join, far cheaper than the duplicated agg.
+            dl = ns.groupBy("doc_id", "section").agg(
+                F.sum("tf").cast("long").alias("dl")
+            )
+            _write(dl, self.path("doclen"), ["doc_id"])
             dlmap = (
-                ns.groupBy("doc_id", "section")
-                .agg(F.sum("tf").cast("long").alias("dl"))
+                self.spark.read.parquet(self.path("doclen"))
                 .groupBy("doc_id")
                 .agg(
                     F.map_from_entries(
@@ -435,15 +457,15 @@ class IndexBuilder:
                     ).alias("dls")
                 )
             )
-            out = ns.join(dlmap, "doc_id").repartitionByRange(
-                n_part, "term", "section", "doc_id",
+            out = ns.join(dlmap, "doc_id").repartition(
+                n_part, "term", "bucket"
             )
-            # row count rides the write as an Observation (above the range
-            # exchange, so its sampling pre-pass can't report a partial
-            # count) instead of a full re-read of the written table
+            # row count rides the write as an Observation instead of a
+            # full re-read of the written table
             obs_rows = Observation()
             out = out.observe(obs_rows, F.count(F.lit(1)).alias("rows"))
             _write(out, self.path("postings_flat"), ["term", "section", "doc_id"])
+            self._commit_stage("doclen", {"wall_s": 0.0, "with": "postings"})
             return {"rows": int(obs_rows.get["rows"])}
 
         stage("postings", s_postings)
@@ -452,7 +474,10 @@ class IndexBuilder:
 
         # stage 5: doclen — dl = Σ tf of non-stop terms per (doc, section)
         # (tokens are unique (term, pos) pairs, so Σ distinct-offset tf ==
-        # non-stop token count, quirk Q2's dl)
+        # non-stop token count, quirk Q2's dl). Normally committed INSIDE
+        # s_postings (computed once as that stage's join input); this
+        # fallback derivation from postings_flat only runs when resuming a
+        # manifest where postings committed without doclen (legacy layout).
         def s_doclen():
             dl = postings.groupBy("doc_id", "section").agg(
                 F.sum("tf").cast("long").alias("dl")
@@ -460,7 +485,7 @@ class IndexBuilder:
             _write(dl, self.path("doclen"), ["doc_id"])
             return {}
 
-        # ----- stages 5-8 are independent given postings_flat ---------------
+        # ----- stages 6-8 are independent given postings_flat ---------------
 
         # stage 6: term_df — docs containing term in ANY section (trie
         # doc-key semantics, `trie/phase1.py:22-25`)
@@ -473,9 +498,23 @@ class IndexBuilder:
 
         # stage 7: bigram vocabulary for spell correction — DISTINCT cleaned
         # terms incl. stop words (`bigram_index/phase1.py:45-59` builds over
-        # cleaned_documents, pre-stop-removal)
+        # cleaned_documents, pre-stop-removal). With a corpus-derived stop
+        # list, vocab ≡ term_df's terms ∪ the stop terms (stop terms are by
+        # construction corpus terms, and term_df is already distinct over
+        # the non-stop subset) — a vocabulary-sized union instead of a
+        # second posting-grain scan+distinct over postings_all. A PINNED
+        # stop list breaks that identity (pinned terms need not occur in
+        # the corpus), so that path keeps the direct distinct.
         def s_vocab():
-            vocab = postings_all.select("term").distinct()
+            if self.stop_terms is None:
+                vocab = (
+                    self.spark.read.parquet(self.path("term_df"))
+                    .select("term")
+                    .unionByName(stop_df.select("term"))
+                    .distinct()
+                )
+            else:
+                vocab = postings_all.select("term").distinct()
             _write(vocab, self.path("vocab"), ["term"])
             return {}
 
@@ -506,33 +545,61 @@ class IndexBuilder:
         # cluster does; the Spark scheduler interleaves jobs from threads.
         # Each stage still commits its own manifest entry (lock-guarded),
         # so resume semantics are unchanged.
+        # stage 9 (computation): lineage/metrics — per-partition accounting
+        # of every core table (north_rule: per-partition lineage + metrics).
+        # Each row: (table, part_id, rows, content_hash); stage wall-times
+        # live in manifest.json. Incremental commits append their delta's
+        # lineage rows in their own data dir (maintenance.stage_add), so
+        # the table is an append-only per-commit log. Each table's lineage
+        # scan runs AS SOON AS that table commits (postings_flat's — the
+        # expensive one — immediately, concurrent with the packed job):
+        # run sequentially after the pool it was a flat tail cost at high
+        # parallelism. The frames are partition-count-sized (tiny), so
+        # holding them as pandas until the single lineage write is free.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=4) as ex:
-            futs = [
-                ex.submit(stage, name, fn)
-                for name, fn in (
-                    ("packed", s_packed),
-                    ("doclen", s_doclen),
-                    ("term_df", s_term_df),
-                    ("vocab", s_vocab),
-                )
-            ]
-            for f in futs:
-                f.result()
+        need_lineage = not self._done("lineage")
 
-        # stage 9: lineage/metrics — per-partition accounting of every core
-        # table (north_rule: per-partition lineage + metrics). Each row:
-        # (table, part_id, rows, content_hash); stage wall-times live in
-        # manifest.json. Incremental commits append their delta's lineage
-        # rows in their own data dir (maintenance.stage_add), so the table
-        # is an append-only per-commit log.
+        def lin_for(table: str) -> pd.DataFrame:
+            return lineage_frame(
+                {table: self.spark.read.parquet(self.path(table))}
+            ).toPandas()
+
+        with ThreadPoolExecutor(max_workers=5) as ex:
+            # doclen normally committed inside s_postings; run the legacy
+            # fallback (no-op when committed) before its lineage scan
+            stage("doclen", s_doclen)
+            lin_futs = []
+            if need_lineage:
+                lin_futs.append(ex.submit(lin_for, "postings_flat"))
+                lin_futs.append(ex.submit(lin_for, "doclen"))
+
+            def chain(name, fn, lin_table=None):
+                stage(name, fn)
+                if lin_table is not None and need_lineage:
+                    return lin_for(lin_table)
+                return None
+
+            def term_df_then_vocab():
+                # vocab derives from the committed term_df (see s_vocab)
+                stage("term_df", s_term_df)
+                stage("vocab", s_vocab)
+
+            futs = [
+                ex.submit(chain, "packed", s_packed, "packed"),
+                ex.submit(term_df_then_vocab),
+            ]
+            results = [f.result() for f in futs]
+            lin_pdfs = [f.result() for f in lin_futs] + [
+                r for r in results if r is not None
+            ]
+
+        # stage 9 (commit): one atomic write of the gathered lineage rows
         def s_lineage():
-            lin = lineage_frame(
-                {
-                    t: self.spark.read.parquet(self.path(t))
-                    for t in LINEAGE_SPECS
-                }
+            lin = self.spark.createDataFrame(
+                pd.concat(lin_pdfs, ignore_index=True),
+                schema="table string, part_id int, rows bigint,"
+                " content_hash bigint",
             )
             _write(lin, self.path("lineage"))
             return {}

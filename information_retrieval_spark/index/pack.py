@@ -17,12 +17,19 @@ Turns the flat postings table (`index/build.py`) into compressed shard rows:
   for ANY avgdl — the per-query idf/avgdl (quirks Q1/Q2) are applied at
   query time, which is why the block stores tf-side components only
   (SURVEY.md §7 hard-part b).
-* packing runs in ``mapInPandas`` over partitions range-keyed and sorted by
-  (term, section, bucket, doc_id) — one numpy group-boundary scan per Arrow
-  batch with cross-batch carry, whole-column varint encodes sliced at block
-  boundaries (no per-block codec calls); output order inherits the range
-  exchange + sort, so parquet file and row-group min/max stats both prune
-  query-term lookups.
+* packing runs in ``mapInArrow`` over partitions range-keyed and sorted by
+  (term, section, bucket, doc_id) — one vectorized group-boundary scan per
+  Arrow batch with cross-batch carry, whole-column varint encodes sliced at
+  block boundaries (no per-block codec calls); output order inherits the
+  range exchange + sort, so parquet file and row-group min/max stats both
+  prune query-term lookups. Arrow-native matters here: the former
+  ``mapInPandas`` packer materialized every term/section STRING as a Python
+  object on Arrow→pandas conversion — a memory-bandwidth-bound cost that
+  was flat from 8 to 32 cores and dominated the stage; with ``mapInArrow``
+  strings stay in Arrow buffers end-to-end (adjacent-row group detection is
+  a C++ ``pc.not_equal`` over offset slices, block key values are Arrow
+  ``take``s, and the three binary block columns are built ZERO-COPY from
+  each whole-column varint buffer plus its block-boundary offsets).
 
 Reference parity: the persisted logical model is the reference's flat
 `(word, postings)` stream (`ir-phase-1.ipynb:c25:102-132`); the vb codec is
@@ -145,6 +152,93 @@ def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return _pack_frame(pdf.sort_values("doc_id"))
 
 
+# ---------------------------------------------------------- arrow-native
+
+def _key_change_arrow(tb) -> np.ndarray:
+    """Boolean mask over an Arrow table: row i starts a new (term, section,
+    bucket) group. Adjacent-row comparison is one C++ ``pc.not_equal`` per
+    key column over offset slices — no Python string ever materializes."""
+    import pyarrow.compute as pc
+
+    n = tb.num_rows
+    change = np.empty(n, dtype=bool)
+    if n == 0:
+        return change
+    change[0] = True
+    acc = None
+    for name in ("term", "section", "bucket"):
+        col = tb.column(name).combine_chunks()
+        neq = pc.not_equal(col.slice(1), col.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        acc = neq if acc is None else (acc | neq)
+    change[1:] = acc
+    return change
+
+
+def _binary_from_offsets(buf: bytes, offs: np.ndarray):
+    """BinaryArray of len(offs)-1 values sliced zero-copy out of one
+    contiguous buffer at the given int64 byte offsets."""
+    import pyarrow as pa
+
+    return pa.Array.from_buffers(
+        pa.binary(),
+        len(offs) - 1,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(buf)],
+    )
+
+
+def _pack_batch_arrow(tb, change: np.ndarray | None = None):
+    """Sorted (term, section, bucket, doc_id) Arrow rows → packed block
+    RecordBatch. Same block layout and bytes as ``_pack_frame`` (the varint
+    slices are byte-identical), but no pandas conversion: numeric columns
+    come out as zero-copy numpy views, key columns stay Arrow."""
+    import pyarrow as pa
+
+    n = tb.num_rows
+    if change is None:
+        change = _key_change_arrow(tb)
+    # int64 → uint64 view (not astype): negative xxhash64 doc_ids wrap,
+    # and gap arithmetic mod 2^64 round-trips exactly (decode cumsums back)
+    docs = tb.column("doc_id").combine_chunks().to_numpy().view(np.uint64)
+    tfs = tb.column("tf").combine_chunks().to_numpy().astype(np.uint64)
+    dls = tb.column("dl").combine_chunks().to_numpy().astype(np.uint64)
+    gstarts = np.flatnonzero(change)
+    glens = np.diff(np.append(gstarts, n))
+    gidx = np.arange(n) - np.repeat(gstarts, glens)
+    bstarts = np.flatnonzero(change | (gidx % BLOCK == 0))
+    bends = np.append(bstarts[1:], n)
+    gaps = np.empty_like(docs)
+    gaps[0] = docs[0]
+    gaps[1:] = docs[1:] - docs[:-1]
+    gaps[bstarts] = docs[bstarts]
+    docs_buf, d_off = varint_encode_offsets(gaps)
+    tfs_buf, t_off = varint_encode_offsets(tfs)
+    dls_buf, l_off = varint_encode_offsets(dls)
+    # blocks tile the rows, so each whole-column buffer is exactly the
+    # concatenation of its block slices: the per-block binary column is the
+    # buffer itself plus offsets at block boundaries — zero copies
+    bounds = np.append(bstarts, n)
+    take = pa.array(bstarts)
+    return pa.RecordBatch.from_arrays(
+        [
+            tb.column("term").combine_chunks().take(take),
+            tb.column("section").combine_chunks().take(take),
+            tb.column("bucket").combine_chunks().take(take),
+            pa.array((gidx[bstarts] // BLOCK).astype(np.int32)),
+            pa.array((bends - bstarts).astype(np.int32)),
+            pa.array(docs[bstarts].view(np.int64)),
+            pa.array(docs[bends - 1].view(np.int64)),
+            _binary_from_offsets(docs_buf, d_off[bounds]),
+            _binary_from_offsets(tfs_buf, t_off[bounds]),
+            _binary_from_offsets(dls_buf, l_off[bounds]),
+            pa.array(np.maximum.reduceat(tfs, bstarts).astype(np.int32)),
+            pa.array(np.minimum.reduceat(dls, bstarts).astype(np.int32)),
+        ],
+        names=[f.name for f in PACKED_SCHEMA.fields],
+    )
+
+
 def pack_postings(
     postings: DataFrame, doclen: DataFrame | None, out: str
 ) -> str:
@@ -191,25 +285,28 @@ def pack_postings(
     n_part = max(spark.sparkContext.defaultParallelism, 8)
 
     def pack_partition(batches):
-        carry = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
+        import pyarrow as pa
+
+        carry = None  # pa.Table holding the (possibly continuing) last group
+        for rb in batches:
+            tb = pa.Table.from_batches([rb])
+            if carry is not None and carry.num_rows:
+                tb = pa.concat_tables([carry, tb]).combine_chunks()
+            if tb.num_rows == 0:
                 continue
             # the last group may continue in the next Arrow batch: hold it
-            change = _key_change(pdf)
+            change = _key_change_arrow(tb)
             split = int(np.flatnonzero(change)[-1])
-            carry = pdf.iloc[split:]
+            carry = tb.slice(split)
             if split:
-                yield _pack_frame(pdf.iloc[:split], change[:split])
-        if carry is not None and len(carry):
-            yield _pack_frame(carry.reset_index(drop=True))
+                yield _pack_batch_arrow(tb.slice(0, split), change[:split])
+        if carry is not None and carry.num_rows:
+            yield _pack_batch_arrow(carry)
 
     packed = (
         joined.repartitionByRange(n_part, "term", "section", "bucket")
         .sortWithinPartitions("term", "section", "bucket", "doc_id")
-        .mapInPandas(pack_partition, PACKED_SCHEMA)
+        .mapInArrow(pack_partition, PACKED_SCHEMA)
     )
     # bigger Arrow batches for the packer: fewer carry splices / group-mask
     # passes per partition. Scoped + restored — the session default (10k)
