@@ -51,6 +51,17 @@ TOKENS_SCHEMA = T.StructType(
     ]
 )
 
+#: grain of ``tokenize_postings`` output == postings_all minus ``bucket``
+POSTINGS_AGG_SCHEMA = T.StructType(
+    [
+        T.StructField("term", T.StringType(), False),
+        T.StructField("section", T.StringType(), False),
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("positions", T.ArrayType(T.IntegerType(), False), False),
+        T.StructField("tf", T.IntegerType(), False),
+    ]
+)
+
 
 def tokenize_corpus(
     corpus: DataFrame,
@@ -129,6 +140,106 @@ def tokenize_corpus(
                 )
 
     return corpus.select(*cols).mapInPandas(run, TOKENS_SCHEMA)
+
+
+def tokenize_postings(
+    corpus: DataFrame,
+    sections: dict[str, str],
+    tokenizer: str = "code",
+    doc_id_col: str = "doc_id",
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Corpus → postings_all grain (term, section, doc_id, positions, tf,
+    bucket) in ONE pass with ZERO shuffle for the ``code`` tokenizer.
+
+    A corpus row is a whole document and ``mapInArrow`` never splits a row
+    across batches, so the per-(doc, section, term) aggregation COMPLETES
+    inside the UDF — the posting-grain ``groupBy(term, section,
+    doc_id).collect_set(pos)`` exchange this replaces shuffled every token
+    occurrence (the build's single largest stage at high parallelism), and
+    the Python→JVM boundary now carries each distinct term once per doc
+    (positions as one int array) instead of once per occurrence.
+    Precondition (already assumed corpus-wide, e.g. by doc_meta): doc_id is
+    unique per corpus row — duplicate rows would emit duplicate groups
+    instead of merging. tf = number of distinct offsets (quirk Q4; offsets
+    from one regex scan are inherently distinct). ``bucket`` is attached
+    JVM-side from the SAME xxhash64(long doc_id) the query engines use.
+
+    The ``simple`` tokenizer path stays fully JVM (split + posexplode +
+    hash agg, whole-stage codegen) — its boundary cost is zero by
+    construction, so there is nothing to fold.
+    """
+    if tokenizer == "simple":
+        agg = (
+            tokenize_corpus(corpus, sections, "simple", doc_id_col)
+            .groupBy("term", "section", "doc_id")
+            .agg(F.array_sort(F.collect_set("pos")).alias("positions"))
+            .withColumn("tf", F.size("positions"))
+        )
+    else:
+        sec_items = list(sections.items())
+
+        def run(batches):
+            import numpy as np
+            import pyarrow as pa
+
+            for rb in batches:
+                names = rb.schema.names
+                ids = rb.column(names.index("__doc_id")).to_numpy(
+                    zero_copy_only=False
+                )
+                for sname, scol in sec_items:
+                    col = rb.column(names.index(scol))
+                    texts = [
+                        t if isinstance(t, str) else "" for t in col.to_pylist()
+                    ]
+                    terms, rows, offs = code_tokens_bulk(texts)
+                    if not terms:
+                        continue
+                    codes, uterms = pd.factorize(
+                        np.asarray(terms, dtype=object), sort=False
+                    )
+                    # group key = (doc row, term id) packed into one int64;
+                    # lexsort orders offsets ascending within each group
+                    key = rows * np.int64(len(uterms)) + codes
+                    order = np.lexsort((offs, key))
+                    skey = key[order]
+                    n = len(skey)
+                    gfirst = np.empty(n, dtype=bool)
+                    gfirst[0] = True
+                    gfirst[1:] = skey[1:] != skey[:-1]
+                    gstarts = np.flatnonzero(gfirst)
+                    counts = np.diff(np.append(gstarts, n))
+                    list_offs = np.zeros(len(gstarts) + 1, dtype=np.int32)
+                    np.cumsum(counts, out=list_offs[1:])
+                    gtake = order[gstarts]
+                    yield pa.RecordBatch.from_arrays(
+                        [
+                            pa.array(uterms, type=pa.string()).take(
+                                pa.array(codes[gtake])
+                            ),
+                            pa.array([sname]).take(
+                                pa.array(
+                                    np.zeros(len(gstarts), dtype=np.int64)
+                                )
+                            ),
+                            pa.array(ids[rows[gtake]]),
+                            pa.ListArray.from_arrays(
+                                pa.array(list_offs),
+                                pa.array(offs[order].astype(np.int32)),
+                            ),
+                            pa.array(counts.astype(np.int32)),
+                        ],
+                        names=[f.name for f in POSTINGS_AGG_SCHEMA.fields],
+                    )
+
+        agg = corpus.select(
+            F.col(doc_id_col).cast("long").alias("__doc_id"),
+            *{c for _, c in sec_items},
+        ).mapInArrow(run, POSTINGS_AGG_SCHEMA)
+    return agg.withColumn(
+        "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
 
 
 def _write(df: DataFrame, path: str, sort_cols: list[str] | None = None) -> None:
@@ -288,9 +399,9 @@ class IndexBuilder:
         from pyspark.sql import Observation
 
         obs_docs = Observation()
-        tokens = tokenize_corpus(
+        tf_src = tokenize_postings(
             corpus.observe(obs_docs, F.count(F.lit(1)).alias("n_docs")),
-            self.sections, self.tokenizer, self.doc_id_col,
+            self.sections, self.tokenizer, self.doc_id_col, self.n_buckets,
         )
 
         # stage 1b: doc_meta — (doc_id, category) for query-time category
@@ -321,26 +432,16 @@ class IndexBuilder:
 
             stage("doc_meta", s_doc_meta)
 
-        # stage 2: postings over ALL terms — the ONE pass over raw tokens.
+        # stage 2: postings over ALL terms — the ONE pass over raw tokens,
+        # aggregated to (term, section, doc_id) grain INSIDE the tokenizer
+        # UDF (tokenize_postings): zero shuffle, and the Python boundary
+        # carries per-doc-distinct terms, not per-occurrence tokens.
         # Everything else (stop list, doclen, vocab, df) derives from this
-        # far smaller (term, section, doc_id) aggregate: tokens are never
-        # recomputed or materialized a second time (they stream from the
-        # scan into this hash-agg within one stage). tf = distinct offsets
-        # (quirk Q4: the trie stores offset SETs); group key includes
-        # doc_id, so head-term skew cannot concentrate on one reducer.
+        # far smaller aggregate: tokens are never recomputed or
+        # materialized a second time. tf = distinct offsets (quirk Q4: the
+        # trie stores offset SETs).
         def s_postings_all():
-            tf = (
-                tokens.groupBy("term", "section", "doc_id")
-                .agg(F.array_sort(F.collect_set("pos")).alias("positions"))
-                .withColumn("tf", F.size("positions"))
-                .withColumn(
-                    "bucket",
-                    F.pmod(F.xxhash64("doc_id"), F.lit(self.n_buckets)).cast(
-                        "int"
-                    ),
-                )
-            )
-            _write(tf, self.path("postings_all"))
+            _write(tf_src, self.path("postings_all"))
             return {}
 
         fresh_postings_all = not self._done("postings_all")
@@ -402,23 +503,21 @@ class IndexBuilder:
 
         stop_df = self.spark.read.parquet(self.path("stopwords"))
 
-        # stage 4: flat postings = non-stop subset, hash-clustered by
-        # (term, bucket) and sorted by (term, section, doc_id) within each
-        # partition → parquet ROW-GROUP min/max stats prune query-term
-        # lookups (each row group covers a narrow term range). The cluster
-        # exchange is a plain hash repartition, NOT repartitionByRange: a
-        # range exchange runs a RangePartitioner sampling job that
-        # re-executes this stage's whole upstream (anti join + doc_id
-        # shuffle + dlmap aggregation + join) a second time — measured as
-        # the single largest flat cost of the build at high parallelism.
-        # File-level range pruning is deliberately left to the PACKED
-        # layout (pack.py range-partitions from this materialized table,
-        # where the sampling pass is one cheap parquet scan) — packed is
-        # the production query path; postings_flat serves derivation jobs
-        # (full scans) and the exhaustive cross-check engine (row-group
-        # pruning suffices). Including ``bucket`` in the hash key splits a
-        # head term's postings across n_buckets partitions — same explicit
-        # skew bound as the packed layout (SURVEY §4.1).
+        # stage 4: flat postings = non-stop subset, sorted by (term,
+        # section, doc_id) within each partition → parquet ROW-GROUP
+        # min/max stats prune query-term lookups (each row group covers a
+        # narrow term range). No term-keyed exchange at all: with bucket in
+        # any term-side hash key a term's rows land in ~every partition
+        # anyway (n_buckets spreads them), so clustering the full-width
+        # frame bought NO extra pruning over the local sort — it was a
+        # posting-sized shuffle for nothing (and the range variant
+        # additionally re-executed this stage's whole upstream in its
+        # RangePartitioner sampling job). File-level range pruning is
+        # deliberately left to the PACKED layout (pack.py range-partitions
+        # from this materialized table, where the sampling pass is one
+        # cheap parquet scan) — packed is the production query path;
+        # postings_flat serves derivation jobs (full scans) and the
+        # exhaustive cross-check engine (row-group pruning suffices).
         # Every row additionally carries its doc's full {section: dl} map
         # (``dls``) — the Lucene-norms-style denormalization: query-time
         # BM25 reads dl AND the per-query avgdl straight off the matched
@@ -432,19 +531,16 @@ class IndexBuilder:
             non_stop = postings_all.join(
                 F.broadcast(stop_df.select("term")), "term", "left_anti"
             )
-            n_part = max(self.spark.sparkContext.defaultParallelism, 8)
-            ns = non_stop.repartition(n_part, "doc_id")
             # doclen is written HERE, as the first job of this stage: the
             # (doc_id, section) dl aggregate is the join input this stage
-            # needs anyway, and computing it once — written to the
-            # doc-grain doclen table, read back (tiny) as the dlmap build
-            # side — replaces the former plan's TWO posting-grain dl
-            # aggregations (one inline as the join's subplan, one as a
-            # separate doclen stage re-scanning postings_flat in the
-            # concurrent pool). The doc_id exchange is recomputed by the
-            # second job (shuffle reuse doesn't cross actions) — a scan +
-            # broadcast anti join, far cheaper than the duplicated agg.
-            dl = ns.groupBy("doc_id", "section").agg(
+            # needs anyway. A plain groupBy (no explicit pre-exchange)
+            # partial-aggregates map-side — the exchange carries ~one row
+            # per (doc, section), not per posting. An earlier shape forced
+            # repartition(doc_id) first so both jobs could share the
+            # exchange; shuffle reuse doesn't cross actions, so it paid a
+            # full-width posting shuffle in EACH job and suppressed the
+            # map-side combine here.
+            dl = non_stop.groupBy("doc_id", "section").agg(
                 F.sum("tf").cast("long").alias("dl")
             )
             _write(dl, self.path("doclen"), ["doc_id"])
@@ -457,9 +553,17 @@ class IndexBuilder:
                     ).alias("dls")
                 )
             )
-            out = ns.join(dlmap, "doc_id").repartition(
-                n_part, "term", "bucket"
-            )
+            # dls attach join: deliberately unhinted — AQE sees the built
+            # dlmap side's true size at runtime and picks broadcast-hash
+            # (zero exchange of the posting-sized probe) while it fits;
+            # at 10^12 docs the doc-count-sized map no longer fits and the
+            # SAME plan degrades to the doc_id-keyed shuffle join, which is
+            # the correct cluster-scale strategy (uniform doc hash, no
+            # head-term skew). On the broadcast path the write inherits the
+            # postings_all scan's partitioning, which Spark already splits
+            # to ~one partition per core (maxSplitBytes scales with
+            # totalBytes/defaultParallelism).
+            out = non_stop.join(dlmap, "doc_id")
             # row count rides the write as an Observation instead of a
             # full re-read of the written table
             obs_rows = Observation()

@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from information_retrieval_spark.index.build import (
     LINEAGE_SPECS,
     lineage_frame,
-    tokenize_corpus,
+    tokenize_postings,
 )
 from information_retrieval_spark.index.catalog import (
     Catalog,
@@ -207,16 +207,7 @@ class IndexMaintenance:
         # into the tf_all aggregate, which is materialized once inside the
         # stage; every other output derives from its read-back — the old
         # shape re-ran the (most expensive) tokenizer for doclen and vocab
-        tokens = tokenize_corpus(delta, sections, tokenizer)
-        tf_all = (
-            tokens.groupBy("term", "section", "doc_id")
-            .agg(F.array_sort(F.collect_set("pos")).alias("positions"))
-            .withColumn("tf", F.size("positions"))
-            .withColumn(
-                "bucket",
-                F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int"),
-            )
-        )
+        tf_all = tokenize_postings(delta, sections, tokenizer, n_buckets=n_buckets)
         tf_all.write.mode("overwrite").parquet(p("__tf_all"))
         tf_all = spark.read.parquet(p("__tf_all"))
 

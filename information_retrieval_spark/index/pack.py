@@ -269,9 +269,13 @@ def pack_postings(
     if "dls" in postings.columns:
         # dls always contains the row's own section (the row is itself a
         # non-stop posting of that (doc, section)), so element_at is total
+        # tf/dl cross the Python boundary as int32 — both are bounded by a
+        # single document's section length; 8 fewer bytes per posting row
+        # matters because the boundary is the stage's bandwidth ceiling
         joined = postings.select(
-            "term", "section", "bucket", "doc_id", "tf",
-            F.expr("dls[section]").cast("long").alias("dl"),
+            "term", "section", "bucket", "doc_id",
+            F.col("tf").cast("int").alias("tf"),
+            F.expr("dls[section]").cast("int").alias("dl"),
         )
     else:
         if doclen is None:
@@ -279,9 +283,12 @@ def pack_postings(
                 "pack_postings: postings lack a 'dls' column and no doclen"
                 " frame was provided"
             )
-        joined = postings.select(
-            "term", "section", "bucket", "doc_id", "tf"
-        ).join(doclen, ["doc_id", "section"])
+        joined = (
+            postings.select("term", "section", "bucket", "doc_id", "tf")
+            .join(doclen, ["doc_id", "section"])
+            .withColumn("tf", F.col("tf").cast("int"))
+            .withColumn("dl", F.col("dl").cast("int"))
+        )
     n_part = max(spark.sparkContext.defaultParallelism, 8)
 
     def pack_partition(batches):

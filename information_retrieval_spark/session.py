@@ -49,6 +49,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # scan split sizing is left at defaults ON PURPOSE: Spark plans
+        # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+        # totalBytes/defaultParallelism)), so file scans already split to
+        # ~one partition per core for this engine's table sizes. Raising
+        # openCostInBytes (tried) is a trap — it acts as a MINIMUM split
+        # size and collapses single-file scans to one task.
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # local mode: the driver heap hosts all executor threads — size it
