@@ -68,3 +68,45 @@ def test_sha256_invariant_matches_python(spark, corpus_df, fixture_corpus):
 def test_stopwords_are_top_k_by_frequency(spark, index_dir, oracle):
     stop = spark.read.parquet(os.path.join(index_dir, "stopwords"))
     assert {r.term for r in stop.collect()} == oracle.stop_tokens
+
+
+def test_tokenize_postings_equals_declarative_aggregate(spark, corpus_df):
+    """The in-UDF per-doc aggregation (tokenize_postings) must produce
+    EXACTLY the rows of the declarative plan it replaced — tokenize to
+    token grain, then groupBy(term, section, doc_id) with sorted distinct
+    offsets — for both tokenizers, including docs with null/empty text and
+    heavy within-doc term repetition."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.index.build import (
+        tokenize_corpus,
+        tokenize_postings,
+    )
+
+    extra = spark.createDataFrame(
+        [
+            (90001, "r", "", "c", "py", None),  # null content
+            (90002, "r", "x.py", "c", "py", ""),  # empty content
+            (90003, "r", "a_b.py", "c", "py", "foo foo foo fooBar foo_bar"),
+        ],
+        corpus_df.schema.simpleString().replace("struct<", "").rstrip(">"),
+    )
+    corpus = corpus_df.unionByName(extra)
+    sections = {"title": "path", "abstract": "content"}
+    for tok in ("code", "simple"):
+        fused = tokenize_postings(corpus, sections, tok, n_buckets=8)
+        ref = (
+            tokenize_corpus(corpus, sections, tok)
+            .groupBy("term", "section", "doc_id")
+            .agg(F.array_sort(F.collect_set("pos")).alias("positions"))
+            .withColumn("tf", F.size("positions"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.xxhash64("doc_id"), F.lit(8)).cast("int"),
+            )
+        )
+        cols = ["term", "section", "doc_id", "positions", "tf", "bucket"]
+        a = sorted(map(tuple, fused.select(*cols).collect()))
+        b = sorted(map(tuple, ref.select(*cols).collect()))
+        assert a == b, f"tokenizer={tok}: fused != declarative aggregate"
+        assert a, f"tokenizer={tok}: empty output"
