@@ -476,26 +476,32 @@ class WandEngine:
         shard = self.packed.filter(F.col("term").isin(all_terms)).cache()
 
         # --- stats pre-pass: decode doc_ids only (Q1 n_cand, Q2 avgdl) ----
+        # one output frame per Arrow BATCH (np.repeat of the block keys by
+        # block length), not one per block — per-block DataFrame
+        # construction was the pre-pass's Python floor at batch sizes of
+        # thousands of blocks
         def decode_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                outs = []
-                for r in pdf.itertuples(index=False):
-                    docs = decode_doc_gaps(r.docs_bin).astype(np.int64)
-                    outs.append(
-                        pd.DataFrame(
-                            {"term": r.term, "section": r.section, "doc_id": docs}
-                        )
-                    )
-                if outs:
-                    yield pd.concat(outs)
-                else:
-                    yield pd.DataFrame(
-                        {
-                            "term": pd.Series([], dtype=object),
-                            "section": pd.Series([], dtype=object),
-                            "doc_id": pd.Series([], dtype="int64"),
-                        }
-                    )
+                if not len(pdf):
+                    continue
+                arrs = [
+                    decode_doc_gaps(b).astype(np.int64)
+                    for b in pdf["docs_bin"]
+                ]
+                lens = np.fromiter(
+                    (len(a) for a in arrs), dtype=np.int64, count=len(arrs)
+                )
+                yield pd.DataFrame(
+                    {
+                        "term": np.repeat(pdf["term"].to_numpy(), lens),
+                        "section": np.repeat(pdf["section"].to_numpy(), lens),
+                        "doc_id": (
+                            np.concatenate(arrs)
+                            if arrs
+                            else np.empty(0, dtype=np.int64)
+                        ),
+                    }
+                )
 
         matched = shard.select(
             "term", "section", "docs_bin"
