@@ -51,6 +51,10 @@ TOKENS_SCHEMA = T.StructType(
     ]
 )
 
+#: per-bulk-scan text budget inside tokenize_postings — Arrow batches split
+#: by rows, not bytes, so large-file corpora need a byte bound of their own
+_BULK_CHUNK_BYTES = 64 << 20
+
 #: grain of ``tokenize_postings`` output == postings_all minus ``bucket``
 POSTINGS_AGG_SCHEMA = T.StructType(
     [
@@ -148,6 +152,7 @@ def tokenize_postings(
     tokenizer: str = "code",
     doc_id_col: str = "doc_id",
     n_buckets: int = 8,
+    chunk_bytes: int = _BULK_CHUNK_BYTES,
 ) -> DataFrame:
     """Corpus → postings_all grain (term, section, doc_id, positions, tf,
     bucket) in ONE pass with ZERO shuffle for the ``code`` tokenizer.
@@ -193,45 +198,63 @@ def tokenize_postings(
                     texts = [
                         t if isinstance(t, str) else "" for t in col.to_pylist()
                     ]
-                    terms, rows, offs = code_tokens_bulk(texts)
-                    if not terms:
-                        continue
-                    codes, uterms = pd.factorize(
-                        np.asarray(terms, dtype=object), sort=False
-                    )
-                    # group key = (doc row, term id) packed into one int64;
-                    # lexsort orders offsets ascending within each group
-                    key = rows * np.int64(len(uterms)) + codes
-                    order = np.lexsort((offs, key))
-                    skey = key[order]
-                    n = len(skey)
-                    gfirst = np.empty(n, dtype=bool)
-                    gfirst[0] = True
-                    gfirst[1:] = skey[1:] != skey[:-1]
-                    gstarts = np.flatnonzero(gfirst)
-                    counts = np.diff(np.append(gstarts, n))
-                    list_offs = np.zeros(len(gstarts) + 1, dtype=np.int32)
-                    np.cumsum(counts, out=list_offs[1:])
-                    gtake = order[gstarts]
-                    yield pa.RecordBatch.from_arrays(
-                        [
-                            pa.array(uterms, type=pa.string()).take(
-                                pa.array(codes[gtake])
-                            ),
-                            pa.array([sname]).take(
-                                pa.array(
-                                    np.zeros(len(gstarts), dtype=np.int64)
-                                )
-                            ),
-                            pa.array(ids[rows[gtake]]),
-                            pa.ListArray.from_arrays(
-                                pa.array(list_offs),
-                                pa.array(offs[order].astype(np.int32)),
-                            ),
-                            pa.array(counts.astype(np.int32)),
-                        ],
-                        names=[f.name for f in POSTINGS_AGG_SCHEMA.fields],
-                    )
+                    # Arrow batches are split by ROW count, so a batch of
+                    # large files can hold gigabytes of text; sub-chunk by
+                    # BYTES so the bulk scan's mega-string and the token
+                    # arrays stay memory-bounded whatever the row sizes.
+                    # A single over-budget document still processes alone
+                    # (whole-doc aggregation is the invariant; documents
+                    # are never split).
+                    start = 0
+                    while start < len(texts):
+                        end, tot = start, 0
+                        while end < len(texts):
+                            tot += len(texts[end])
+                            end += 1
+                            if tot > chunk_bytes and end > start + 1:
+                                end -= 1
+                                break
+                        terms, rows, offs = code_tokens_bulk(texts[start:end])
+                        base = start
+                        start = end
+                        if not terms:
+                            continue
+                        codes, uterms = pd.factorize(
+                            np.asarray(terms, dtype=object), sort=False
+                        )
+                        # group key = (doc row, term id) packed into one
+                        # int64; lexsort orders offsets ascending per group
+                        key = rows * np.int64(len(uterms)) + codes
+                        order = np.lexsort((offs, key))
+                        skey = key[order]
+                        n = len(skey)
+                        gfirst = np.empty(n, dtype=bool)
+                        gfirst[0] = True
+                        gfirst[1:] = skey[1:] != skey[:-1]
+                        gstarts = np.flatnonzero(gfirst)
+                        counts = np.diff(np.append(gstarts, n))
+                        list_offs = np.zeros(len(gstarts) + 1, dtype=np.int32)
+                        np.cumsum(counts, out=list_offs[1:])
+                        gtake = order[gstarts]
+                        yield pa.RecordBatch.from_arrays(
+                            [
+                                pa.array(uterms, type=pa.string()).take(
+                                    pa.array(codes[gtake])
+                                ),
+                                pa.array([sname]).take(
+                                    pa.array(
+                                        np.zeros(len(gstarts), dtype=np.int64)
+                                    )
+                                ),
+                                pa.array(ids[base + rows[gtake]]),
+                                pa.ListArray.from_arrays(
+                                    pa.array(list_offs),
+                                    pa.array(offs[order].astype(np.int32)),
+                                ),
+                                pa.array(counts.astype(np.int32)),
+                            ],
+                            names=[f.name for f in POSTINGS_AGG_SCHEMA.fields],
+                        )
 
         agg = corpus.select(
             F.col(doc_id_col).cast("long").alias("__doc_id"),

@@ -110,3 +110,34 @@ def test_tokenize_postings_equals_declarative_aggregate(spark, corpus_df):
         b = sorted(map(tuple, ref.select(*cols).collect()))
         assert a == b, f"tokenizer={tok}: fused != declarative aggregate"
         assert a, f"tokenizer={tok}: empty output"
+
+
+def test_tokenize_postings_chunking_boundary(spark, corpus_df):
+    """The byte-bounded sub-chunking inside tokenize_postings must not
+    change output: force a tiny budget (captured by value into the UDF
+    closure, so it reaches executor workers) so every Arrow batch splits
+    into many bulk scans — including single-doc over-budget chunks — and
+    compare against the unchunked run."""
+    from information_retrieval_spark.index import build as build_mod
+
+    sections = {"title": "path", "abstract": "content"}
+    cols = ["term", "section", "doc_id", "positions", "tf", "bucket"]
+    full = sorted(
+        map(
+            tuple,
+            build_mod.tokenize_postings(corpus_df, sections, "code")
+            .select(*cols)
+            .collect(),
+        )
+    )
+    chunked = sorted(
+        map(
+            tuple,
+            build_mod.tokenize_postings(
+                corpus_df, sections, "code", chunk_bytes=100
+            )
+            .select(*cols)
+            .collect(),
+        )
+    )
+    assert chunked == full and full
