@@ -593,7 +593,11 @@ class WandEngine:
                 fp = fp.join(
                     F.broadcast(self.deleted_df), "doc_id", "left_anti"
                 )
-            fp = fp.distinct()
+            # no fp-wide distinct: (term, doc_id) repeats only across
+            # sections, and BOTH consumers dedup inherently (the exclude
+            # branch distincts its own projection; the must branch counts
+            # DISTINCT mterm) — a pre-distinct here was one extra shuffle
+            # of the filter-term postings for nothing
             if ex_rows:
                 ex_spec = self.spark.createDataFrame(
                     ex_rows, "query_id long, xterm string"
