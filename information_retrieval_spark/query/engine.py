@@ -329,7 +329,10 @@ class SearchEngine:
         )
         if self.deleted_df is not None:
             fp = fp.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
-        fp = fp.distinct()  # collapse sections (presence = any section)
+        # no fp-wide distinct: presence repeats only across sections, and
+        # both consumers dedup inherently (the exclude branch distincts its
+        # own projection; the must branch counts DISTINCT mterm) — a
+        # pre-distinct was one extra shuffle of the filter-term postings
         if ex_rows:
             ex_spec = self.spark.createDataFrame(
                 ex_rows, "query_id long, xterm string"
