@@ -303,10 +303,20 @@ class WandEngine:
         index_dir: str,
         distributed_spell: bool = False,
         version: int | None = None,
+        max_prefix_expand: int = 20_000,
     ):
         """``distributed_spell=True``: query-token correction via the
         Spark bigram-table join (`spell.correct_words_spark`) instead of
         the driver-side vocabulary dict — vocab never leaves the cluster.
+
+        ``max_prefix_expand`` bounds how many dictionary terms a prefix
+        batch may expand to: WAND collects the expansion to the driver
+        (it becomes the packed scan's literal ``In`` pushdown and the
+        per-query cursor set), which is safe for sane prefixes but would
+        be a driver OOM for a 1-char prefix over a billion-term
+        dictionary. Over-budget batches raise with guidance instead —
+        ``SearchEngine``'s prefix expansion stays fully distributed and
+        has no such bound.
 
         ``version`` pins a catalog snapshot (time travel; None = current).
         The packed table arrives with its LSM ``segment`` column
@@ -342,6 +352,7 @@ class WandEngine:
         )
         self.doc_meta = read_doc_meta(spark, index_dir, version)
         self.n_buckets = int(self.config.get("n_buckets", 8))
+        self.max_prefix_expand = max_prefix_expand
         self._dl_map_df = None
         self._last_shard = None
         self._bigram_dict = None
@@ -410,7 +421,18 @@ class WandEngine:
         if not qterms:
             return {}
         cond = reduce(or_, [F.col("term").startswith(t) for t in qterms])
-        terms = [r.term for r in self.term_df.filter(cond).collect()]
+        cap = self.max_prefix_expand
+        terms = [
+            r.term
+            for r in self.term_df.filter(cond).limit(cap + 1).collect()
+        ]
+        if len(terms) > cap:
+            raise ValueError(
+                f"prefix expansion exceeds max_prefix_expand={cap} "
+                f"dictionary terms for qterms {sorted(qterms)[:5]}...; "
+                "narrow the prefixes, raise max_prefix_expand, or use "
+                "SearchEngine (its prefix expansion is fully distributed)"
+            )
         out: dict[str, list[str]] = {}
         have = set(terms)
         for q in qterms:

@@ -148,3 +148,22 @@ def test_wand_rejects_tfidf_methods(wand):
                           match_mode="exact")]
         with _pytest.raises(ValueError, match="okapi25"):
             wand.search(spec)
+
+
+def test_wand_prefix_expansion_cap(spark, index_dir, wand):
+    """The driver-side prefix expansion is bounded: an over-budget batch
+    raises with guidance (instead of collecting an unbounded slice of the
+    term dictionary), and a generous cap leaves results untouched."""
+    import pytest as _pytest
+
+    from information_retrieval_spark.query.wand import WandEngine
+
+    spec = [QuerySpec(1, "t", "okapi25", 5,
+                      spell=False, match_mode="prefix")]
+    tiny = WandEngine(spark, index_dir, max_prefix_expand=1)
+    with _pytest.raises(ValueError, match="max_prefix_expand"):
+        tiny.search(spec).collect()
+    roomy = WandEngine(spark, index_dir, max_prefix_expand=100_000)
+    assert [tuple(r) for r in roomy.search(spec).collect()] == [
+        tuple(r) for r in wand.search(spec).collect()
+    ]
