@@ -82,13 +82,20 @@ def run_incremental_indexing(
     checkpoint_dir: str,
     available_now: bool = True,
     schema: T.StructType = CORPUS_SCHEMA,
+    reader_options: dict[str, str] | None = None,
 ):
     """Drain (or continuously consume) parquet files from ``watch_dir`` into
     the index at ``index_dir``. Returns the StreamingQuery (already
-    terminated when ``available_now``)."""
+    terminated when ``available_now``). ``reader_options`` pass through to
+    the file source (e.g. ``{"maxFilesPerTrigger": "1"}`` to bound each
+    micro-batch — and therefore each staged snapshot commit — to one
+    landed file even under an availableNow catch-up drain)."""
     from information_retrieval_spark.index.maintenance import IndexMaintenance
 
-    stream = spark.readStream.schema(schema).parquet(watch_dir)
+    reader = spark.readStream.schema(schema)
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)
+    stream = reader.parquet(watch_dir)
 
     def handle(batch_df, batch_id: int) -> None:
         stage = os.path.join(index_dir, f"__stage_batch_{int(batch_id)}")
