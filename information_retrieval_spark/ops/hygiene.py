@@ -148,7 +148,7 @@ SQL_REPETITION = f"""
 WITH bg AS ({_sql_word_shingles(2, distinct=False)}),
 per AS (SELECT doc_id, shingle, count(*) AS c FROM bg GROUP BY 1, 2)
 SELECT doc_id,
-  sum(c) AS n_bigrams,
+  sum(c)::BIGINT AS n_bigrams,
   round(1.0 - count(*)::DOUBLE / sum(c), 6) AS dup2_frac_r,
   round(max(c)::DOUBLE / sum(c), 6) AS top2_frac_r
 FROM per GROUP BY doc_id

@@ -27,18 +27,31 @@ TABLES = [
 
 
 def canon(rows, cols):
+    # Type-tagged like the driver's value hasher: a bit-identical value in
+    # the wrong type (e.g. DuckDB decimal128 from a bare sum() vs Spark
+    # int64) must FAIL here, not first in CORRECTNESS_r{N}.json.
+    import decimal
+
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         vals = []
         for i in order:
             v = r[i]
-            if isinstance(v, float):
-                if math.isnan(v):
-                    v = "nan"
-                else:
-                    v = f"{v:.9g}"
-            vals.append(str(v))
+            if isinstance(v, bool):
+                tag = "b"
+            elif isinstance(v, int):
+                tag = "i"
+            elif isinstance(v, float):
+                tag = "f"
+                v = "nan" if math.isnan(v) else f"{v:.9g}"
+            elif isinstance(v, decimal.Decimal):
+                tag = "dec"
+            elif v is None:
+                tag = "n"
+            else:
+                tag = type(v).__name__[0]
+            vals.append(f"{tag}:{v}")
         out.append(tuple(vals))
     out.sort()
     return out
