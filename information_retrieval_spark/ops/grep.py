@@ -225,3 +225,28 @@ def grep_persisted(
     never scanned for trigrams at query time."""
     doc_tg = spark.read.parquet(trigram_dir).select("doc_id", "trigram")
     return _grep_via_trigrams(spark, doc_tg, d)
+
+
+def ensure_trigram_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir, manifest = parquet _SUCCESS) the persisted
+    trigram index into a /tmp cache — same idempotent-build pattern as
+    ``engine_entry.ensure_documents_index``."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    out = f"/tmp/ir_trigram_index_{key}"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        build_trigram_index(spark, _docs(spark, sf_dir), out)
+    return out
+
+
+def q_grep_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DRIVER/bench entry for indexed grep: reads the ingest-time
+    persisted trigram table (partition-pruned by the query's In(trigram)
+    filter) instead of re-deriving trigrams in-plan per query — at 100 TB
+    the in-plan derivation IS a full corpus scan + explode, the exact cost
+    the index exists to avoid. Same rows, same SQL_GREP_TOPK oracle as
+    :func:`q_grep_topk` / :func:`q_grep_index`."""
+    d = _docs(spark, sf_dir)
+    return grep_persisted(spark, ensure_trigram_index(spark, sf_dir), d)

@@ -729,6 +729,27 @@ SQL_TFIDF_LTN = _sql_tfidf(cosine=False)
 SQL_TFIDF_LTC = _sql_tfidf(cosine=True)
 
 
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both tf-idf weighting schemes (ltn-lnn and ltc-lnc) as ONE battery
+    entry: the union of the two top-10 rankings tagged by ``scheme``, so a
+    single driver row value-checks both scoring formulas. The narrow
+    :func:`q_tfidf_ltn` / :func:`q_tfidf_ltc` remain the user-facing API."""
+    ltn = _tfidf(spark, sf_dir, cosine=False).select(
+        F.lit("ltn").alias("scheme"), "query_id", "rank", "doc_id", "score_r"
+    )
+    ltc = _tfidf(spark, sf_dir, cosine=True).select(
+        F.lit("ltc").alias("scheme"), "query_id", "rank", "doc_id", "score_r"
+    )
+    return ltn.unionByName(ltc)
+
+
+SQL_TFIDF_TOPK = f"""
+SELECT 'ltn' AS scheme, query_id, rank, doc_id, score_r FROM ({SQL_TFIDF_LTN})
+UNION ALL
+SELECT 'ltc' AS scheme, query_id, rank, doc_id, score_r FROM ({SQL_TFIDF_LTC})
+"""
+
+
 # ------------------------------------------------ more-like-this + facets
 
 # Seed documents for more-like-this: the whole document is the query

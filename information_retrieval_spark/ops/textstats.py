@@ -220,6 +220,106 @@ FROM base
 """
 
 
+# ------------------------------------------------- merged per-doc text stats
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All four per-document text-analysis ops — token counting, quality
+    scoring, language-ID, fingerprint — fused into ONE scan of
+    ``documents``. Column-for-column identical to running
+    :func:`q_token_count` + :func:`q_quality` + :func:`q_langid` +
+    :func:`q_fingerprint` and joining on doc_id (pytest-asserted), but a
+    single projection: at 100 TB one pass over the corpus computes the
+    whole per-doc stats block instead of four. This is the driver battery
+    entry; the four narrow ops remain the user-facing API."""
+    d = _docs(spark, sf_dir)
+    lower = F.lower(F.col("text"))
+    words = F.filter(F.split(lower, "[^a-z0-9]+"), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS_FIXED])
+    n_words = F.size(words)
+    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x)))
+    n_alnum = F.length(F.regexp_replace(lower, "[^a-z0-9]", ""))
+    mean_wl = F.when(
+        n_words > 0, words_len_sum(words) / n_words.cast("double")
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, n_stop / n_words.cast("double")).otherwise(0.0)
+    alnum_ratio = F.when(
+        F.length("text") > 0, n_alnum / F.length("text").cast("double")
+    ).otherwise(0.0)
+    quality = (
+        F.when((n_words >= 10) & (mean_wl >= 2.0) & (mean_wl <= 12.0), 1).otherwise(0)
+    )
+
+    def _hits(lang: str):
+        marks = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        return F.size(F.filter(words, lambda x: F.array_contains(marks, x)))
+
+    hit_cols = {lang: _hits(lang) for lang in sorted(LANG_MARKERS)}
+    mx = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        pred = F.when((mx > 0) & (hit_cols[lang] == mx), F.lit(lang)).otherwise(pred)
+    fp_words = F.array_sort(F.array_distinct(words))
+    return d.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), " +"), lambda x: x != "")).alias(
+            "ws_tokens"
+        ),
+        F.size(F.regexp_extract_all(lower, F.lit(BPE_RE), 0)).alias("bpe_tokens"),
+        F.length("text").alias("n_chars_m"),
+        n_words.alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(alnum_ratio, 6).alias("alnum_ratio"),
+        quality.alias("keep"),
+        pred.alias("pred_lang"),
+        mx.alias("hits"),
+        portable_hash32(F.concat_ws("|", fp_words)).alias("fp"),
+    )
+
+
+SQL_TEXT_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS words
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, text, words,
+    len(words) AS n_words,
+    CASE WHEN len(words) > 0
+      THEN list_sum(list_transform(words, x -> length(x)))::DOUBLE / len(words)
+      ELSE 0.0 END AS mean_wl,
+    CASE WHEN len(words) > 0
+      THEN len(list_filter(words, x -> x IN ({_STOP_IN})))::DOUBLE / len(words)
+      ELSE 0.0 END AS stop_ratio,
+    CASE WHEN length(text) > 0
+      THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE
+           / length(text)
+      ELSE 0.0 END AS alnum_ratio,
+    {", ".join(f"{_sql_lang_hits(lg)} AS h_{lg}" for lg in sorted(LANG_MARKERS))},
+    greatest({", ".join(f"{_sql_lang_hits(lg)}" for lg in sorted(LANG_MARKERS))})
+      AS mx
+  FROM base
+)
+SELECT doc_id,
+  len(list_filter(string_split_regex(text, ' +'), x -> x <> '')) AS ws_tokens,
+  len(regexp_extract_all(lower(text), '{BPE_RE}')) AS bpe_tokens,
+  length(text) AS n_chars_m,
+  n_words,
+  round(mean_wl, 6) AS mean_word_len,
+  round(stop_ratio, 6) AS stop_ratio,
+  round(alnum_ratio, 6) AS alnum_ratio,
+  CASE WHEN n_words >= 10 AND mean_wl >= 2.0 AND mean_wl <= 12.0
+       THEN 1 ELSE 0 END AS keep,
+  CASE WHEN mx = 0 THEN 'und'
+       {" ".join(f"WHEN h_{lg} = mx THEN '{lg}'" for lg in sorted(LANG_MARKERS))}
+  END AS pred_lang,
+  mx AS hits,
+  {sql_hash32("array_to_string(list_sort(list_distinct(words)), '|')")} AS fp
+FROM feat
+"""
+
+
 # ------------------------------------------------------- deterministic sample
 
 SAMPLE_PCT = 20  # keep ~20% of docs

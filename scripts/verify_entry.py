@@ -65,8 +65,12 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
     spark = get_spark("verify_entry")
-    qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    qs = dict(entry_mod.queries())
+    oracles = dict(entry_mod.oracle_sql())
+    # twins are not in the driver's 50-entry window but get the same
+    # value-level verification here and in the sf1.0 battery
+    qs.update(entry_mod.twin_queries())
+    oracles.update(entry_mod.twin_oracle_sql())
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
