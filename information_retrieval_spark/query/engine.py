@@ -114,6 +114,7 @@ class SearchEngine:
         # distributed bigram-table join; the driver path is correct and is
         # what the reference does (its whole index lives in driver RAM).
         self._bigram_dict: dict | None = None
+        self._vocab_over_cap = False
         # delete-vector (index/maintenance.py): docs logically removed
         dd = read_table(spark, index_dir, "deleted_docs", version)
         self.deleted_df = (
@@ -128,17 +129,19 @@ class SearchEngine:
     # ------------------------------------------------------------- helpers
 
     @property
-    def bigram_dict(self) -> dict:
-        if self._bigram_dict is None:
-            from information_retrieval_spark.index.catalog import read_vocab
+    def bigram_dict(self) -> dict | None:
+        """Driver-side spell dict, or ``None`` when the vocabulary exceeds
+        spell.MAX_SPELL_VOCAB_COLLECT — callers fall back to the
+        distributed bigram join (never an unbounded vocab collect)."""
+        if self._bigram_dict is None and not self._vocab_over_cap:
+            from information_retrieval_spark.query.spell import (
+                bigram_dict_if_small,
+            )
 
-            vocab = [
-                r.term
-                for r in read_vocab(
-                    self.spark, self.index_dir, self.version
-                ).collect()
-            ]
-            self._bigram_dict = build_bigram_dict(vocab)
+            self._bigram_dict = bigram_dict_if_small(
+                self.spark, self.index_dir, self.version
+            )
+            self._vocab_over_cap = self._bigram_dict is None
         return self._bigram_dict
 
     def _tokenize_query(self, text: str) -> list[str]:
@@ -146,7 +149,18 @@ class SearchEngine:
         return [t for t in toks if t not in self.stop_terms]
 
     def prepare_query_tokens(self, q: QuerySpec) -> list[str]:
-        text = correct_text(self.bigram_dict, q.text) if q.spell else q.text
+        text = q.text
+        if q.spell:
+            bd = self.bigram_dict
+            if bd is not None:
+                text = correct_text(bd, q.text)
+            else:  # vocab over the collect cap → distributed correction
+                from information_retrieval_spark.query.spell import (
+                    apply_corrections,
+                )
+
+                fixes = self._spell_map([q.text])
+                text = apply_corrections(q.text, lambda t: fixes.get(t, t))
         return self._tokenize_query(text)
 
     def _spell_map(self, texts: list[str]) -> dict[str, str]:

@@ -100,6 +100,34 @@ def apply_corrections(text: str, fix) -> str:
 
 # ------------------------------------------------ distributed (vocab-scale)
 
+# Driver-side spell dict is only built when the term dictionary provably
+# fits: ~1M terms ≈ tens of MB of dict — safe; a web-scale vocabulary
+# (billions of terms at 10^12 files) must NEVER be collected.
+MAX_SPELL_VOCAB_COLLECT = 1_000_000
+
+
+def bigram_dict_if_small(
+    spark,
+    index_dir: str,
+    version: int | None = None,
+    cap: int | None = None,
+) -> dict[str, dict[str, int]] | None:
+    """Build the driver-side bigram dict ONLY when the vocabulary fits
+    under ``cap`` terms; returns ``None`` otherwise, and the caller routes
+    through :func:`correct_words_spark` / :func:`spell_map_for_texts`
+    (the fully distributed path). The size probe is ``limit(cap+1)``
+    — bounded — never an unconditional vocabulary collect."""
+    from information_retrieval_spark.index.catalog import read_vocab
+
+    if cap is None:  # read at call time so tests can shrink the cap
+        cap = MAX_SPELL_VOCAB_COLLECT
+    vocab_df = read_vocab(spark, index_dir, version)
+    probe = vocab_df.select("term").limit(cap + 1).collect()
+    if len(probe) > cap:
+        return None
+    return build_bigram_dict([r.term for r in probe])
+
+
 def spell_map_for_texts(
     spark, index_dir: str, texts: list[str], version: int | None = None
 ) -> dict[str, str]:

@@ -356,6 +356,7 @@ class WandEngine:
         self._dl_map_df = None
         self._last_shard = None
         self._bigram_dict = None
+        self._vocab_over_cap = False
 
     # ------------------------------------------------------------- helpers
 
@@ -390,22 +391,27 @@ class WandEngine:
     # ---------------------------------------------------------------- main
 
     def _correct(self, text: str) -> str:
-        """Spell-correct against the (vocabulary-sized) bigram dictionary —
-        same driver-side path as the exhaustive engine (quirk Q7)."""
-        if self._bigram_dict is None:
-            from information_retrieval_spark.index.catalog import read_vocab
-            from information_retrieval_spark.query.spell import build_bigram_dict
+        """Spell-correct the query (quirk Q7): driver-side bigram dict when
+        the vocabulary fits under MAX_SPELL_VOCAB_COLLECT, else the fully
+        distributed bigram-join path — never an unbounded vocab collect."""
+        from information_retrieval_spark.query.spell import (
+            apply_corrections,
+            bigram_dict_if_small,
+            correct_text,
+            spell_map_for_texts,
+        )
 
-            vocab = [
-                r.term
-                for r in read_vocab(
-                    self.spark, self.index_dir, self.version
-                ).collect()
-            ]
-            self._bigram_dict = build_bigram_dict(vocab)
-        from information_retrieval_spark.query.spell import correct_text
-
-        return correct_text(self._bigram_dict, text)
+        if self._bigram_dict is None and not self._vocab_over_cap:
+            self._bigram_dict = bigram_dict_if_small(
+                self.spark, self.index_dir, self.version
+            )
+            self._vocab_over_cap = self._bigram_dict is None
+        if self._bigram_dict is not None:
+            return correct_text(self._bigram_dict, text)
+        fixes = spell_map_for_texts(
+            self.spark, self.index_dir, [text], self.version
+        )
+        return apply_corrections(text, lambda t: fixes.get(t, t))
 
     def _expand_prefix(self, qterms: set[str]) -> dict[str, list[str]]:
         """qterm → matching postings terms (prefix semantics,
