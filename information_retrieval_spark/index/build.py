@@ -195,26 +195,36 @@ def tokenize_postings(
                 )
                 for sname, scol in sec_items:
                     col = rb.column(names.index(scol))
-                    texts = [
-                        t if isinstance(t, str) else "" for t in col.to_pylist()
-                    ]
+                    n_rows = len(col)
                     # Arrow batches are split by ROW count, so a batch of
                     # large files can hold gigabytes of text; sub-chunk by
                     # BYTES so the bulk scan's mega-string and the token
                     # arrays stay memory-bounded whatever the row sizes.
-                    # A single over-budget document still processes alone
-                    # (whole-doc aggregation is the invariant; documents
-                    # are never split).
+                    # Chunk boundaries come from Arrow-side lengths and the
+                    # column is sliced per chunk, so Python-string
+                    # materialization is chunk_bytes-bounded as well —
+                    # never the whole batch at once. A single over-budget
+                    # document still processes alone (whole-doc aggregation
+                    # is the invariant; documents are never split).
+                    import pyarrow.compute as pc
+
+                    lens = pc.fill_null(pc.utf8_length(col), 0).to_numpy(
+                        zero_copy_only=False
+                    )
                     start = 0
-                    while start < len(texts):
+                    while start < n_rows:
                         end, tot = start, 0
-                        while end < len(texts):
-                            tot += len(texts[end])
+                        while end < n_rows:
+                            tot += int(lens[end])
                             end += 1
                             if tot > chunk_bytes and end > start + 1:
                                 end -= 1
                                 break
-                        terms, rows, offs = code_tokens_bulk(texts[start:end])
+                        texts = [
+                            t if isinstance(t, str) else ""
+                            for t in col.slice(start, end - start).to_pylist()
+                        ]
+                        terms, rows, offs = code_tokens_bulk(texts)
                         base = start
                         start = end
                         if not terms:

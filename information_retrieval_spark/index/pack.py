@@ -181,6 +181,17 @@ def _binary_from_offsets(buf: bytes, offs: np.ndarray):
     contiguous buffer at the given int64 byte offsets."""
     import pyarrow as pa
 
+    # pa.binary() carries int32 offsets: one Arrow batch's varint payload
+    # must stay under 2^31 bytes or the cast below would silently wrap and
+    # corrupt the packed blocks. A batch is a (term, section, bucket)-local
+    # slice (head terms are bucket-split upstream), so hitting this means
+    # the bucket splitter is broken — fail loudly.
+    if len(offs) and int(offs[-1]) > np.iinfo(np.int32).max:
+        raise ValueError(
+            f"packed varint payload {int(offs[-1])} bytes exceeds the "
+            "int32 BinaryArray offset range; shrink maxRecordsPerBatch or "
+            "lower the head-term bucket size (index/build.py)"
+        )
     return pa.Array.from_buffers(
         pa.binary(),
         len(offs) - 1,
@@ -291,12 +302,30 @@ def pack_postings(
         )
     n_part = max(spark.sparkContext.defaultParallelism, 8)
 
+    # Coalesce the incoming Arrow batches INSIDE the UDF (the session
+    # default ~10k-row batches are sized for wide tokenizer rows; packer
+    # rows are 6 narrow columns). Doing it here instead of raising the
+    # session-global arrow.maxRecordsPerBatch keeps concurrent stage
+    # threads on the shared session unaffected.
+    PACK_ROWS = 65536
+
     def pack_partition(batches):
         import pyarrow as pa
 
+        def rebatched():
+            acc: list = []
+            rows = 0
+            for rb in batches:
+                acc.append(rb)
+                rows += rb.num_rows
+                if rows >= PACK_ROWS:
+                    yield pa.Table.from_batches(acc)
+                    acc, rows = [], 0
+            if acc:
+                yield pa.Table.from_batches(acc)
+
         carry = None  # pa.Table holding the (possibly continuing) last group
-        for rb in batches:
-            tb = pa.Table.from_batches([rb])
+        for tb in rebatched():
             if carry is not None and carry.num_rows:
                 tb = pa.concat_tables([carry, tb]).combine_chunks()
             if tb.num_rows == 0:
@@ -315,16 +344,7 @@ def pack_postings(
         .sortWithinPartitions("term", "section", "bucket", "doc_id")
         .mapInArrow(pack_partition, PACKED_SCHEMA)
     )
-    # bigger Arrow batches for the packer: fewer carry splices / group-mask
-    # passes per partition. Scoped + restored — the session default (10k)
-    # is sized for wide tokenizer rows, packer rows are 6 narrow columns.
-    arrow_key = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    prev = spark.conf.get(arrow_key)
-    spark.conf.set(arrow_key, "65536")
-    try:
-        packed.write.mode("overwrite").parquet(out)
-    finally:
-        spark.conf.set(arrow_key, prev)
+    packed.write.mode("overwrite").parquet(out)
     return out
 
 
