@@ -96,14 +96,16 @@ def _be_hex(c: Column, nbytes: int) -> Column:
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table derived from documents. Image rows carry
     REAL image bytes — doc_id % 6 == 0 a complete 24-bit BMP (54-byte
-    header + zeroed, 4-byte-row-padded pixel data), doc_id % 6 == 3 a PNG
-    signature + IHDR chunk followed by the doc text as opaque body — and
-    doc_id % 6 == 1 audio rows a complete PCM WAV (44-byte RIFF/fmt/data
-    header + the doc text as sample data) — all built entirely from
-    JVM-side hex expressions (unhex of format_string), no UDF. Remaining
-    audio/video rows keep the declared b'IMG0' stub payload. Dims /
-    channel counts / sample rates are portable-hash-derived so the DuckDB
-    twin reconstructs byte-identical payloads."""
+    header + zeroed, 4-byte-row-padded pixel data); doc_id % 6 == 3 split
+    by (doc_id // 6) parity into a PNG (signature + IHDR chunk) or a JPEG
+    (SOI + APP0/JFIF + SOF0-or-SOF2 frame header), each followed by the
+    doc text as opaque body — and doc_id % 6 == 1 audio rows a complete
+    PCM WAV (44-byte RIFF/fmt/data header + the doc text as sample data)
+    — all built entirely from JVM-side hex expressions (unhex of
+    format_string), no UDF. Remaining audio/video rows keep the declared
+    b'IMG0' stub payload. Dims / channel counts / sample rates /
+    JPEG frame type are portable-hash-derived so the DuckDB twin
+    reconstructs byte-identical payloads."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     w = (
         portable_hash32(F.concat(F.col("doc_id").cast("string"), F.lit("w")))
@@ -185,6 +187,43 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.encode(F.col("text"), "utf-8"),
     )
+    # JPEG: SOI + 18-byte APP0/JFIF + SOF0 (baseline) or SOF2 (progressive)
+    # frame header carrying the hash-derived dims, 1 (grayscale) or 3
+    # (YCbCr) components, then the doc text as opaque body. UTF-8 never
+    # contains 0xFF, so a marker scanner cannot misfire inside the body.
+    jc = (
+        F.when(
+            portable_hash32(
+                F.concat(F.col("doc_id").cast("string"), F.lit("jc"))
+            ) % 2 == 0,
+            3,
+        )
+        .otherwise(1)
+        .cast("int")
+    )
+    sof_marker = F.when(
+        portable_hash32(
+            F.concat(F.col("doc_id").cast("string"), F.lit("jp"))
+        ) % 2 == 0,
+        F.lit("ffc0"),
+    ).otherwise(F.lit("ffc2"))
+    jpeg_payload = F.concat(
+        F.unhex(
+            F.concat(
+                F.lit("ffd8"),                                    # SOI
+                F.lit("ffe000104a46494600010100000100010000"),    # APP0 JFIF
+                sof_marker,                                       # SOF0/SOF2
+                _be_hex(F.lit(8) + jc * 3, 2),                    # frame len
+                F.lit("08"),                                      # precision
+                _be_hex(h, 2),
+                _be_hex(w, 2),
+                _be_hex(jc, 1),                                   # n components
+                F.when(jc == 3, F.lit("012200021101031101"))      # id/sampling/qtbl
+                .otherwise(F.lit("011100")),
+            )
+        ),
+        F.encode(F.col("text"), "utf-8"),
+    )
     stub_payload = F.concat(F.lit(b"IMG0"), F.encode(F.col("text"), "utf-8"))
     return d.withColumn("__psz", psz).select(
         "doc_id",
@@ -203,7 +242,11 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("height"),
         F.when(F.col("doc_id") % 6 == 0, bmp_payload)
-        .when(F.col("doc_id") % 6 == 3, png_payload)
+        .when(
+            (F.col("doc_id") % 6 == 3) & (F.expr("(doc_id DIV 6) % 2") == 0),
+            png_payload,
+        )
+        .when(F.col("doc_id") % 6 == 3, jpeg_payload)
         .when(F.col("doc_id") % 6 == 1, wav_payload)
         .otherwise(stub_payload)
         .alias("payload"),
@@ -237,6 +280,36 @@ def decode_png_header(payload: bytes) -> tuple[int, int, int]:
     if colortype not in _PNG_CHANNELS:
         raise ValueError(f"bad PNG color type {colortype}")
     return width, height, _PNG_CHANNELS[colortype]
+
+
+def decode_jpeg_header(payload: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from a JPEG by walking the marker chain
+    to the first start-of-frame segment — SOF0 (baseline) or SOF2
+    (progressive), the two frame types real corpora contain. Pure byte
+    arithmetic over the JFIF marker structure (ITU T.81 §B.2.2): each
+    segment is 0xFF, marker, 2-byte big-endian length (self-inclusive);
+    the frame header is [precision u8][height u16be][width u16be][ncomp
+    u8]. Raises ValueError on malformed input like any decoder."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            raise ValueError(f"bad JPEG marker alignment at {i}")
+        marker = payload[i + 1]
+        if marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            if i + 10 > len(payload):
+                raise ValueError("truncated JPEG frame header")
+            height, width = struct.unpack_from(">HH", payload, i + 5)
+            ncomp = payload[i + 9]
+            return width, height, ncomp
+        if marker == 0xD9:  # EOI before any frame header
+            break
+        seg_len = struct.unpack_from(">H", payload, i + 2)[0]
+        if seg_len < 2:
+            raise ValueError("bad JPEG segment length")
+        i += 2 + seg_len
+    raise ValueError("no SOF0/SOF2 frame header found")
 
 
 def decode_wav_header(payload: bytes) -> tuple[int, int, int]:
@@ -285,10 +358,11 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the binary payload column.
 
-    One ``mapInPandas`` pass: per batch, magic-byte dispatch — BMP, PNG
-    and WAV payloads get a REAL header decode (dims/channels resp.
-    channels/sample-rate/bits, leading the FEATURE_DIM vector), anything
-    else the deterministic stub; plus vectorized sha256. The payload
+    One ``mapInPandas`` pass: per batch, magic-byte dispatch — BMP, PNG,
+    JPEG (SOF0/SOF2 marker-chain walk) and WAV payloads get a REAL header
+    decode (dims/channels resp. channels/sample-rate/bits, leading the
+    FEATURE_DIM vector), anything else the deterministic stub; plus
+    vectorized sha256. The payload
     column is DROPPED from the output (features tables must not carry the
     raw bytes forward — that's the 100 TB mistake)."""
 
@@ -304,6 +378,8 @@ def extract_features(media: DataFrame) -> DataFrame:
             w, h, c = decode_bmp_header(p)
         elif p[:8] == PNG_MAGIC:
             w, h, c = decode_png_header(p)
+        elif p[:2] == b"\xff\xd8":
+            w, h, c = decode_jpeg_header(p)
         else:
             return None, None, None, None, None, decode_image_stub(p)
         feats[0], feats[1], feats[2] = w, h, c
@@ -458,6 +534,19 @@ def _sql_blob_le16(blob: str, off: int) -> str:
     )
 
 
+def _sql_blob_be16(blob: str, off: int) -> str:
+    """DuckDB int of the big-endian u16 at 0-based ``off`` in a blob."""
+    return (
+        f"{_sql_blob_byte(blob, off)} * 256 + {_sql_blob_byte(blob, off + 1)}"
+    )
+
+
+def _sql_be16(expr: str) -> str:
+    """DuckDB hex string of ``expr`` as 2 big-endian bytes."""
+    e = f"({expr})::BIGINT"
+    return f"format('{{:02x}}{{:02x}}', ({e} // 256) % 256, {e} % 256)"
+
+
 def _sql_media_features() -> str:
     """DuckDB twin of q_media_features.
 
@@ -499,6 +588,18 @@ def _sql_media_features() -> str:
         f" || {_sql_le32('wsr * wc * 2')} || {_sql_le16('wc * 2')}"
         f" || '1000' || '64617461' || {_sql_le32('dsz')}"
     )
+    # JPEG twin: same SOI + APP0 + SOF layout as media_table. The Python
+    # decoder walks the marker chain generically; the SQL twin exploits
+    # that the synthesized chain puts SOF at byte 20 (SOI=2 + APP0=18),
+    # so the frame header fields sit at fixed offsets 25/27/29 — a
+    # deterministic precomputation of the scan, per the fixed APP0 length.
+    jpeg_hex = (
+        "'ffd8' || 'ffe000104a46494600010100000100010000' || sofm"
+        f" || {_sql_be16('8 + jc * 3')} || '08'"
+        f" || {_sql_be16('h')} || {_sql_be16('w')}"
+        " || format('{:02x}', jc)"
+        " || CASE WHEN jc = 3 THEN '012200021101031101' ELSE '011100' END"
+    )
     return f"""
 WITH dims AS (
   SELECT doc_id, text,
@@ -506,6 +607,10 @@ WITH dims AS (
          ({sql_hash32("doc_id::VARCHAR || 'h'")} % {MAX_DIM} + 1) AS h,
          ({sql_hash32("doc_id::VARCHAR || 'c'")} % 2 + 1) AS wc,
          (({sql_hash32("doc_id::VARCHAR || 'r'")} % 5 + 1) * 8000) AS wsr,
+         (CASE WHEN {sql_hash32("doc_id::VARCHAR || 'jc'")} % 2 = 0
+               THEN 3 ELSE 1 END) AS jc,
+         (CASE WHEN {sql_hash32("doc_id::VARCHAR || 'jp'")} % 2 = 0
+               THEN 'ffc0' ELSE 'ffc2' END) AS sofm,
          octet_length(encode(text)) AS dsz
   FROM documents
 ),
@@ -513,7 +618,9 @@ geo AS (SELECT *, ((w * 3 + 3) // 4) * 4 * h AS psz FROM dims),
 blobs AS (
   SELECT doc_id, text, w, h,
          CASE WHEN doc_id % 6 = 0 THEN unhex({bmp_hex})
-              WHEN doc_id % 6 = 3 THEN unhex({png_hex}) || encode(text)
+              WHEN doc_id % 6 = 3 AND (doc_id // 6) % 2 = 0
+                THEN unhex({png_hex}) || encode(text)
+              WHEN doc_id % 6 = 3 THEN unhex({jpeg_hex}) || encode(text)
               WHEN doc_id % 6 = 1 THEN unhex({wav_hex}) || encode(text)
               ELSE ('IMG0' || text)::BLOB END AS payload
   FROM geo
@@ -526,13 +633,18 @@ m AS (
          octet_length(payload)::INTEGER AS n_bytes,
          sha256(hex(payload)) AS payload_sha256,
          CASE WHEN doc_id % 6 = 0 THEN {_sql_blob_le32('payload', 18)}
-              WHEN doc_id % 6 = 3 THEN {_sql_blob_be32('payload', 16)}
+              WHEN doc_id % 6 = 3 AND (doc_id // 6) % 2 = 0
+                THEN {_sql_blob_be32('payload', 16)}
+              WHEN doc_id % 6 = 3 THEN {_sql_blob_be16('payload', 27)}
               END::INTEGER AS dec_width,
          CASE WHEN doc_id % 6 = 0 THEN {_sql_blob_le32('payload', 22)}
-              WHEN doc_id % 6 = 3 THEN {_sql_blob_be32('payload', 20)}
+              WHEN doc_id % 6 = 3 AND (doc_id // 6) % 2 = 0
+                THEN {_sql_blob_be32('payload', 20)}
+              WHEN doc_id % 6 = 3 THEN {_sql_blob_be16('payload', 25)}
               END::INTEGER AS dec_height,
          CASE WHEN doc_id % 6 = 0 THEN {_sql_blob_byte('payload', 28)} // 8
-              WHEN doc_id % 6 = 3 THEN 3
+              WHEN doc_id % 6 = 3 AND (doc_id // 6) % 2 = 0 THEN 3
+              WHEN doc_id % 6 = 3 THEN {_sql_blob_byte('payload', 29)}
               WHEN doc_id % 6 = 1 THEN {_sql_blob_le16('payload', 22)}
               END::INTEGER AS dec_channels,
          CASE WHEN doc_id % 6 = 1 THEN {_sql_blob_le32('payload', 24)}

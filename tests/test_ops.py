@@ -166,19 +166,22 @@ def test_multimodal_real_image_decode_end_to_end(spark):
         F.col("media_type") == "image").collect()}
     assert imgs, "fixture should contain image rows"
     feats = {r.doc_id: r for r in multimodal.extract_features(media).collect()}
-    n_bmp = n_png = 0
+    n_bmp = n_png = n_jpg = 0
     for did, m in imgs.items():
         f = feats[did]
         if m.payload[:2] == b"BM":
             w, h, c = multimodal.decode_bmp_header(bytes(m.payload))
             n_bmp += 1
-        else:
+        elif bytes(m.payload)[:8] == multimodal.PNG_MAGIC:
             w, h, c = multimodal.decode_png_header(bytes(m.payload))
             n_png += 1
+        else:
+            w, h, c = multimodal.decode_jpeg_header(bytes(m.payload))
+            n_jpg += 1
         assert (f.dec_width, f.dec_height, f.dec_channels) == (w, h, c)
         assert (m.width, m.height) == (w, h)
         assert tuple(f.features[:3]) == (float(w), float(h), float(c))
-    assert n_bmp and n_png, "both real formats should appear"
+    assert n_bmp and n_png and n_jpg, "all three real formats should appear"
     # non-image rows carry no decoded dims; WAV audio rows DO carry
     # decoded channels/sample-rate/bits, stub rows carry none
     n_wav = 0
@@ -503,3 +506,83 @@ def test_embedding_dups_finds_mirrors(spark):
     for (a, b), s in pairs.items():
         assert similarity.DUP_TAU - 1e-6 <= s <= 1.0 + 1e-6
         assert a < b
+
+
+def _golden_jpeg(
+    w: int,
+    h: int,
+    ncomp: int = 3,
+    progressive: bool = False,
+    extra_segments: bytes = b"",
+) -> bytes:
+    """Hand-built JPEG: SOI, APP0/JFIF, optional extra marker segments
+    (to exercise the chain walk), then SOF0/SOF2."""
+    import struct as s
+
+    app0 = b"\xff\xe0" + s.pack(">H", 16) + b"JFIF\x00" + b"\x01\x01" \
+        + b"\x00" + s.pack(">HH", 1, 1) + b"\x00\x00"
+    comps = (b"\x01\x22\x00\x02\x11\x01\x03\x11\x01" if ncomp == 3
+             else b"\x01\x11\x00")
+    sof = (b"\xff\xc2" if progressive else b"\xff\xc0") \
+        + s.pack(">H", 8 + 3 * ncomp) + b"\x08" + s.pack(">HH", h, w) \
+        + bytes([ncomp]) + comps
+    return b"\xff\xd8" + app0 + extra_segments + sof + b"opaque body"
+
+
+def test_decode_jpeg_golden_images():
+    """JPEG SOF decoder against hand-built marker chains: baseline and
+    progressive, color and grayscale, and a chain with interleaved COM /
+    DQT segments the walker must skip."""
+    import struct as s
+
+    from information_retrieval_spark.ops.multimodal import decode_jpeg_header
+
+    assert decode_jpeg_header(_golden_jpeg(640, 480)) == (640, 480, 3)
+    assert decode_jpeg_header(_golden_jpeg(31, 17, ncomp=1)) == (31, 17, 1)
+    assert decode_jpeg_header(_golden_jpeg(5, 9, progressive=True)) == (5, 9, 3)
+    com = b"\xff\xfe" + s.pack(">H", 2 + 11) + b"a comment!!"
+    dqt = b"\xff\xdb" + s.pack(">H", 2 + 65) + b"\x00" + bytes(64)
+    assert decode_jpeg_header(
+        _golden_jpeg(1024, 768, extra_segments=com + dqt)
+    ) == (1024, 768, 3)
+    import pytest as pt
+
+    with pt.raises(ValueError):
+        decode_jpeg_header(b"\xff\xd8\xff\xd9")  # EOI, no frame
+    with pt.raises(ValueError):
+        decode_jpeg_header(b"not a jpeg")
+    with pt.raises(ValueError):  # misaligned marker chain
+        decode_jpeg_header(b"\xff\xd8" + b"\x00\x00\x00\x00")
+
+
+def test_multimodal_jpeg_rows_decode_end_to_end(spark):
+    """JPEG rows in media_table (doc_id%6==3, odd doc_id//6) carry real
+    SOI/APP0/SOF chains: the Spark pipeline's decoded dims must equal an
+    independent driver-side re-parse AND the table's metadata columns."""
+    from information_retrieval_spark.ops.multimodal import (
+        decode_jpeg_header,
+        extract_features,
+        media_table,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    media = media_table(spark, sf).filter(
+        "doc_id % 6 = 3 AND (doc_id DIV 6) % 2 = 1"
+    )
+    rows = {r.doc_id: r for r in media.collect()}
+    assert rows, "fixture must contain JPEG rows"
+    feats = {
+        r.doc_id: r
+        for r in extract_features(media).collect()
+    }
+    seen_markers = set()
+    for did, r in rows.items():
+        w, h, c = decode_jpeg_header(bytes(r.payload))
+        assert (w, h) == (r.width, r.height)
+        assert c in (1, 3)
+        f = feats[did]
+        assert (f.dec_width, f.dec_height, f.dec_channels) == (w, h, c)
+        assert f.dec_sample_rate is None and f.dec_bits is None
+        seen_markers.add(bytes(r.payload)[20:22])
+    # the fixture exercises BOTH frame types
+    assert seen_markers == {b"\xff\xc0", b"\xff\xc2"}
