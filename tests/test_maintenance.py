@@ -584,3 +584,70 @@ def test_commit_add_refuses_stale_stage_after_intervening_compact(
     maint.cat.commit({}, "compact", {"n_removed": 0})  # simulated bypass
     with pytest.raises(RuntimeError, match="stale"):
         maint.commit_add(stage)
+
+
+def test_recover_crash_mid_recovery_is_idempotent(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Double failure: the RECOVERY itself crashes — first mid-move
+    (some stage subdirs already renamed, snapshot not yet committed),
+    then again after the snapshot lands but before the stage dir is
+    dropped. A further recover_stages() must converge: exactly ONE 'add'
+    snapshot, no frozen stage left, results identical to a fresh build."""
+    import os as os_mod
+
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("dblfail"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    stage = f"{d}/__stage_add"
+    maint.stage_add(_df(spark, rows[120:]), stage)  # crash #0: before commit
+    v0 = max(maint.cat.versions())
+
+    # crash #1: inject a failure on the SECOND stage-subdir rename
+    real_replace = os_mod.replace
+    calls = {"n": 0}
+
+    def flaky(src, dst, *a, **kw):
+        if "__stage_add" in str(src):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise OSError("injected crash mid-recovery")
+        return real_replace(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os_mod, "replace", flaky)
+    with pytest.raises(OSError, match="injected crash"):
+        maint.recover_stages()
+    monkeypatch.setattr(os_mod, "replace", real_replace)
+    assert maint._unrecovered_stages(), "stage must still be frozen"
+    assert max(maint.cat.versions()) == v0, "no snapshot may have landed"
+
+    # crash #2: snapshot commits but the stage dir survives the crash —
+    # the stage is now merely awaiting cleanup (token already in chain)
+    maint.commit_add(stage)
+    assert os_mod.path.isdir(stage)
+    assert maint._unrecovered_stages() == []
+    assert maint._frozen_stages() == ["__stage_add"]
+
+    # final recovery: converges, publishes nothing twice
+    assert maint.recover_stages() == ["__stage_add"]
+    assert maint._unrecovered_stages() == []
+    assert not os_mod.path.isdir(stage)
+    adds = [
+        v for v in maint.cat.versions()
+        if v > v0 and maint.cat.load(v)["operation"] == "add"
+    ]
+    assert len(adds) == 1, f"add snapshot must land exactly once: {adds}"
+    # recover_stages() is now a no-op
+    assert maint.recover_stages() == []
+
+    fresh = str(tmp_path_factory.mktemp("dblfailfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows))
+    assert _results(SearchEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
