@@ -83,6 +83,7 @@ def run_incremental_indexing(
     available_now: bool = True,
     schema: T.StructType = CORPUS_SCHEMA,
     reader_options: dict[str, str] | None = None,
+    trigger_interval: str = "10 seconds",
 ):
     """Drain (or continuously consume) parquet files from ``watch_dir`` into
     the index at ``index_dir``. Returns the StreamingQuery (already
@@ -127,4 +128,4 @@ def run_incremental_indexing(
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
         return q
-    return writer.trigger(processingTime="10 seconds").start()
+    return writer.trigger(processingTime=trigger_interval).start()

@@ -109,6 +109,43 @@ def main() -> None:
     eng.search(specs).collect()
     query_s = time.time() - t0
 
+    # ---- commit-to-queryable latency (steady state, no backlog) ----------
+    # A continuous stream (ASAP trigger) is already running empty; land one
+    # delta file at a time and measure file-landed → snapshot-committed.
+    # "Queryable" = the batch id is visible in the snapshot ledger, which
+    # is exactly the moment a reader resolving the latest snapshot serves
+    # the batch's docs (the ledger IS the committed chain).
+    from information_retrieval_spark.index.catalog import Catalog
+
+    n_lat = int(os.environ.get("STREAM_LAT_BATCHES", "6"))
+    lat_rows = corpus_rows(N_BASE + (N_BATCHES + n_lat) * BATCH_DOCS)
+    q = run_incremental_indexing(
+        spark, idx, watch, ckpt, available_now=False,
+        reader_options={"maxFilesPerTrigger": "1"},
+        trigger_interval="0 seconds",
+    )
+    lats = []
+    try:
+        cat = Catalog(idx)
+        for b in range(n_lat):
+            prev_last = cat.last_stream_batch()
+            lo = N_BASE + (N_BATCHES + b) * BATCH_DOCS
+            chunk = lat_rows[lo : lo + BATCH_DOCS]
+            t_land = time.time()
+            df_of(chunk).coalesce(1).write.mode("append").parquet(watch)
+            while True:
+                last = cat.last_stream_batch()
+                if last is not None and (prev_last is None or last > prev_last):
+                    break
+                if time.time() - t_land > 300:
+                    raise TimeoutError("stream never committed the batch")
+                time.sleep(0.05)
+            lats.append(time.time() - t_land)
+    finally:
+        q.stop()
+    lats.sort()
+    p50_latency = lats[len(lats) // 2]
+
     from information_retrieval_spark.index.catalog import table_dirs
 
     out = {
@@ -121,6 +158,8 @@ def main() -> None:
         "packed_segments_after": len(table_dirs(idx, "packed")),
         "maintained_hash_equals_fresh_rebuild": bool(hash_equal),
         "wand_batch_after_drain_s": round(query_s, 2),
+        "commit_to_queryable_p50_s": round(p50_latency, 2),
+        "commit_to_queryable_all_s": [round(x, 2) for x in lats],
     }
     print("STREAM_BENCH " + json.dumps(out))
     shutil.rmtree(work, ignore_errors=True)
