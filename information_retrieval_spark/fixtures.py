@@ -127,12 +127,40 @@ def corpus_rows(n: int) -> list[CorpusRow]:
     return [make_row(i) for i in range(n)]
 
 
-def write_corpus_parquet(path: str, n: int) -> None:
+def skewed_corpus_rows(n: int) -> list[CorpusRow]:
+    """Zipf-skewed variant of the uniform fixture: one hot term
+    (``skewhot``) appears 1-3 times in ~80% of documents — an indexed
+    posting list ~n·0.8 long, far past any other term — plus a Zipf tail
+    ``skewz{r}`` with df ≈ n/2^r for r = 1..6. Build with stop_k=10 (the
+    fixture's guaranteed head terms) so the hot term is NOT stop-filtered:
+    this is the adversarial input for the head-term bucket-split packing."""
+    out = []
+    for r in corpus_rows(n):
+        i = r.doc_id
+        extra = []
+        if h(i, 9901) % 10 < 8:
+            extra.extend(["skewhot"] * (1 + h(i, 9902) % 3))
+        for rank in range(1, 7):
+            if h(i, 9910 + rank) % (1 << rank) == 0:
+                extra.append(f"skewz{rank}")
+        out.append(
+            CorpusRow(
+                r.doc_id, r.repo, r.path, r.commit, r.lang,
+                r.content + " " + " ".join(extra),
+            )
+        )
+    return out
+
+
+def write_corpus_parquet(
+    path: str, n: int, rows: list[CorpusRow] | None = None
+) -> None:
     """Write the synthetic corpus with pyarrow (no Spark needed)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = corpus_rows(n)
+    if rows is None:
+        rows = corpus_rows(n)
     table = pa.table(
         {
             "doc_id": pa.array([r.doc_id for r in rows], pa.int64()),
