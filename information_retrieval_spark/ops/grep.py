@@ -36,6 +36,9 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 TOP_K = 10
@@ -43,12 +46,26 @@ TOP_K = 10
 #: (query_id, regex, required literal factor). The factor is a substring
 #: of every match (the regex's alternations/classes lie outside it).
 GREP_QUERY_SET: list[tuple[int, str, str]] = [
+    # broad patterns: factors on single common words — candidate bound
+    # ≈ 60-77% of the corpus, the stats router sends these to the scan
     (0, "merge (sort|join)", "merge "),
     (1, "s[ck]an slow", "an slow"),
     (2, "(big|small) table", " table"),
     (3, "window [a-z]*gg[a-z]*", "window "),
     (4, "hash (join|value)", "hash "),
+    # selective patterns: multi-word / rare-token factors — candidate
+    # bound ≈ 5-29%, the router sends these through the trigram index
+    (5, "sort merge (join|agg)", "sort merge "),
+    (6, "hash join (fast|slow|filter)", "hash join "),
+    (7, "stream batch [a-z]+", "stream batch "),
+    (8, "fast vector (scan|agg|join)", "fast vector "),
+    (9, "dup[a-z]* (row|value)", "dup"),
 ]
+
+#: route a query to the full scan when its trigram-stats candidate upper
+#: bound (min df over its required trigrams) exceeds this corpus fraction
+#: — regexing most of the corpus via the index costs MORE than the scan.
+SCAN_FRACTION = 0.45
 
 
 def _trigrams(s: str) -> list[str]:
@@ -72,10 +89,11 @@ def _rank_topk(matched: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------- brute scan
 
-def q_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, rank, doc_id, n_matches): per-regex top-K documents by
-    match count. One scan; all regex counting in a single projection."""
-    d = _docs(spark, sf_dir)
+def _brute_matches(
+    d: DataFrame, queries: list[tuple[int, str, str]]
+) -> DataFrame:
+    """(query_id, doc_id, n_matches > 0) for the given queries: one scan,
+    all regex counting in a single projection."""
     lower = F.lower(F.col("text"))
     per_q = F.array(
         *[
@@ -85,15 +103,20 @@ def q_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.regexp_extract_all(lower, F.lit(regex), F.lit(0))
                 ).alias("n_matches"),
             )
-            for qid, regex, _ in GREP_QUERY_SET
+            for qid, regex, _ in queries
         ]
     )
-    matched = (
+    return (
         d.select("doc_id", F.explode(per_q).alias("q"))
         .select("q.query_id", "doc_id", "q.n_matches")
         .filter(F.col("n_matches") > 0)
     )
-    return _rank_topk(matched)
+
+
+def q_grep_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, doc_id, n_matches): per-regex top-K documents by
+    match count. One scan; all regex counting in a single projection."""
+    return _rank_topk(_brute_matches(_docs(spark, sf_dir), GREP_QUERY_SET))
 
 
 def _sql_grep_matches() -> str:
@@ -140,37 +163,64 @@ def _doc_trigrams(d: DataFrame) -> DataFrame:
 
 
 def _grep_via_trigrams(
-    spark: SparkSession, doc_tg: DataFrame, d: DataFrame
+    spark: SparkSession,
+    doc_tg: DataFrame,
+    d: DataFrame,
+    queries: list[tuple[int, str, str]] | None = None,
+    rank: bool = True,
+    qtris: dict[int, list[str]] | None = None,
 ) -> DataFrame:
     """Candidate AND-query over a (doc_id, trigram) relation + exact-regex
-    verify on candidates only; shared by the in-plan and persisted paths."""
-    needed_rows = [
-        (qid, tri)
-        for qid, _, lit in GREP_QUERY_SET
-        for tri in _trigrams(lit)
-    ]
-    all_needed = sorted({tri for _, tri in needed_rows})
-    needed = spark.createDataFrame(needed_rows, "query_id int, trigram string")
-    n_req = spark.createDataFrame(
-        [(qid, len(_trigrams(lit))) for qid, _, lit in GREP_QUERY_SET],
-        "query_id int, n_req int",
-    )
-    # explicit isin BEFORE the join: on the persisted table this is the
-    # pushed In(trigram, ...) filter that prunes row groups / partitions.
-    cands = (
+    verify on candidates only; shared by the in-plan and persisted paths.
+
+    Plan shape (exactly two exchanges): pruned trigram scan → ONE doc-grain
+    hash-agg collecting each doc's needed-trigram set → every query's
+    AND-condition evaluated in a single projection (query terms are plan
+    LITERALS — no query-table join, no per-(query, doc) shuffle) → the
+    small candidate set broadcasts into the verify scan → top-K window.
+
+    ``qtris`` (per-query trigram subsets, chosen from index stats) may
+    replace each factor's full trigram set: ANY subset still yields a
+    candidate SUPERSET (fewer AND terms = weaker filter), and the exact
+    verify restores precision — so the planner reads only the posting
+    lists that pay for themselves in pruning."""
+    if queries is None:
+        queries = GREP_QUERY_SET
+    if qtris is None:
+        qtris = {qid: _trigrams(lit) for qid, _, lit in queries}
+    all_needed = sorted({t for tris in qtris.values() for t in tris})
+    # explicit isin: on the persisted table this is the pushed
+    # In(trigram, ...) filter that prunes partitions / row groups.
+    per_doc = (
         doc_tg.filter(F.col("trigram").isin(all_needed))
-        .join(F.broadcast(needed), "trigram")
-        .groupBy("query_id", "doc_id")
-        .agg(F.count("*").alias("n_have"))
-        .join(F.broadcast(n_req), "query_id")
-        .filter(F.col("n_have") == F.col("n_req"))
-        .select("query_id", "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("trigram").alias("tris"))
+    )
+    # each query matches iff ALL its trigrams are present; one projection
+    # emits the per-doc list of matching query ids, exploded to candidates
+    hit_lists = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    reduce(
+                        and_,
+                        [F.array_contains("tris", t) for t in tris],
+                    ),
+                    F.lit(qid),
+                )
+                for qid, tris in qtris.items()
+            ]
+        )
+    )
+    cands = per_doc.select(
+        "doc_id", F.explode(hit_lists).alias("query_id")
     )
     # exact verify on candidates only: constant-pattern regex per branch
-    # selected by a CASE chain (one join, no union re-scans).
-    verify = cands.join(d.select("doc_id", "text"), "doc_id")
+    # selected by a CASE chain. Candidates are the SMALL side — broadcast
+    # them into the docs scan (one exchange-free map-side join).
+    verify = F.broadcast(cands).join(d.select("doc_id", "text"), "doc_id")
     n_col = None
-    for qid, regex, _ in GREP_QUERY_SET:
+    for qid, regex, _ in queries:
         cnt = F.size(
             F.regexp_extract_all(F.lower(F.col("text")), F.lit(regex), F.lit(0))
         )
@@ -182,7 +232,7 @@ def _grep_via_trigrams(
     matched = verify.select(
         "query_id", "doc_id", n_col.alias("n_matches")
     ).filter(F.col("n_matches") > 0)
-    return _rank_topk(matched)
+    return _rank_topk(matched) if rank else matched
 
 
 def q_grep_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,17 +264,118 @@ def build_trigram_index(spark: SparkSession, d: DataFrame, out_dir: str) -> None
         .mode("overwrite")
         .parquet(out_dir)
     )
+    # per-trigram document frequency + corpus size: the planner statistics
+    # the query-time router reads (underscore prefix → invisible to the
+    # main table's parquet reader, like _SUCCESS)
+    import os
+
+    tg_stats = (
+        spark.read.parquet(out_dir)
+        .groupBy("trigram")
+        .agg(F.count("*").alias("df"))
+        .withColumn("n_docs", F.lit(d.count()).cast("long"))
+    )
+    tg_stats.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "_stats")
+    )
+
+
+# planner-stats cache: a resident engine reads the tiny per-trigram df
+# table once per index, like any cached catalog statistic
+_ROUTE_CACHE: dict[str, tuple[list, list, dict]] = {}
+
+#: an extra AND trigram is read only if its posting list costs less than
+#: this multiple of the query's candidate bound — otherwise the read
+#: outweighs any precision it could add (the verify pass is exact anyway)
+EXTRA_TRIGRAM_COST = 2.0
+MAX_TRIGRAMS_PER_QUERY = 4
+
+
+def _route_queries(
+    spark: SparkSession, trigram_dir: str
+) -> tuple[
+    list[tuple[int, str, str]],
+    list[tuple[int, str, str]],
+    dict[int, list[str]],
+]:
+    """(index_queries, scan_queries, per-query trigram subsets):
+    stats-based planning, the Google Code Search design point — each
+    query's candidate upper bound is min(df) over its required trigrams
+    (read from the index's tiny stats table, a bounded driver collect of
+    ≤ |needed trigrams| rows); a bound above SCAN_FRACTION of the corpus
+    routes the query to the full scan, because regexing most of the
+    corpus THROUGH the index costs more than the scan itself. A trigram
+    absent from stats (df 0) keeps the query on the index path: its
+    candidate set is provably empty.
+
+    For index-routed queries the planner also picks WHICH trigrams to
+    read: the rarest always (it alone sets the candidate bound), further
+    ones only while their posting lists are cheap relative to that bound
+    (≤ EXTRA_TRIGRAM_COST × min_df, ≤ MAX_TRIGRAMS_PER_QUERY total). Any
+    subset keeps the candidate-superset invariant; skipping a 77%-df
+    trigram that cannot tighten a 17%-df bound saves its entire read."""
+    import os
+
+    cached = _ROUTE_CACHE.get(trigram_dir)
+    if cached is not None:
+        return cached
+    all_needed = sorted(
+        {t for _, _, lit in GREP_QUERY_SET for t in _trigrams(lit)}
+    )
+    stats_path = os.path.join(trigram_dir, "_stats")
+    if not os.path.exists(stats_path):  # pre-stats index: all via index
+        return (
+            list(GREP_QUERY_SET),
+            [],
+            {qid: _trigrams(lit) for qid, _, lit in GREP_QUERY_SET},
+        )
+    rows = (
+        spark.read.parquet(stats_path)
+        .filter(F.col("trigram").isin(all_needed))
+        .collect()
+    )
+    df_of = {r.trigram: r.df for r in rows}
+    n_docs = rows[0].n_docs if rows else 0
+    idx_q, scan_q, qtris = [], [], {}
+    for qid, regex, lit in GREP_QUERY_SET:
+        by_df = sorted(_trigrams(lit), key=lambda t: df_of.get(t, 0))
+        bound = df_of.get(by_df[0], 0)
+        if n_docs and bound > SCAN_FRACTION * n_docs:
+            scan_q.append((qid, regex, lit))
+            continue
+        idx_q.append((qid, regex, lit))
+        chosen = [by_df[0]]
+        for t in by_df[1 : MAX_TRIGRAMS_PER_QUERY]:
+            if df_of.get(t, 0) <= EXTRA_TRIGRAM_COST * max(bound, 1):
+                chosen.append(t)
+        qtris[qid] = chosen
+    _ROUTE_CACHE[trigram_dir] = (idx_q, scan_q, qtris)
+    return idx_q, scan_q, qtris
 
 
 def grep_persisted(
     spark: SparkSession, trigram_dir: str, d: DataFrame
 ) -> DataFrame:
     """GREP_QUERY_SET over a persisted trigram index: identical rows to
-    :func:`q_grep_topk`, but the prefilter reads only the needed trigrams'
-    partitions/row groups — the corpus is regexed on candidates only and
-    never scanned for trigrams at query time."""
-    doc_tg = spark.read.parquet(trigram_dir).select("doc_id", "trigram")
-    return _grep_via_trigrams(spark, doc_tg, d)
+    :func:`q_grep_topk`. Selective queries take the pruned trigram path
+    (only their trigrams' partitions/row groups are read, the corpus is
+    regexed on candidates only); queries whose stats bound says the index
+    cannot prune route to the single-scan brute plan — per-query adaptive
+    planning from index statistics. Branch query sets are disjoint, so
+    each branch ranks its own top-K and the union needs no re-rank."""
+    idx_q, scan_q, qtris = _route_queries(spark, trigram_dir)
+    parts = []
+    if idx_q:
+        doc_tg = spark.read.parquet(trigram_dir).select("doc_id", "trigram")
+        parts.append(
+            _grep_via_trigrams(spark, doc_tg, d, queries=idx_q, qtris=qtris)
+        )
+    if scan_q:
+        parts.append(_rank_topk(_brute_matches(d, scan_q)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def ensure_trigram_index(spark: SparkSession, sf_dir: str) -> str:

@@ -138,3 +138,43 @@ def test_grep_persisted_equals_brute_and_prunes(spark, tmp_path):
         r.tg1 for r in spark.read.parquet(tg_dir).select("tg1").distinct().collect()
     }
     assert firsts < all_firsts
+
+
+def test_route_queries_subsets_and_split(spark, tmp_path):
+    """Planner invariants: every index-routed query gets a non-empty
+    trigram subset of its factor's trigrams that CONTAINS the rarest
+    trigram (the subset's AND is then a candidate superset by
+    construction); scan-routed queries are exactly those whose min-df
+    bound exceeds SCAN_FRACTION of the corpus."""
+    from information_retrieval_spark.ops.grep import (
+        GREP_QUERY_SET,
+        SCAN_FRACTION,
+        _route_queries,
+        _trigrams,
+        build_trigram_index,
+    )
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    tg_dir = str(tmp_path / "trigrams")
+    build_trigram_index(spark, d, tg_dir)
+    idx_q, scan_q, qtris = _route_queries(spark, tg_dir)
+
+    assert {q[0] for q in idx_q} | {q[0] for q in scan_q} == {
+        q[0] for q in GREP_QUERY_SET
+    }
+    assert not ({q[0] for q in idx_q} & {q[0] for q in scan_q})
+
+    stats = {
+        r.trigram: r.df
+        for r in spark.read.parquet(f"{tg_dir}/_stats").collect()
+    }
+    n_docs = d.count()
+    for qid, _, lit in GREP_QUERY_SET:
+        full = _trigrams(lit)
+        bound = min(stats.get(t, 0) for t in full)
+        if bound > SCAN_FRACTION * n_docs:
+            assert qid in {q[0] for q in scan_q}
+        else:
+            chosen = qtris[qid]
+            assert chosen and set(chosen) <= set(full)
+            assert min(stats.get(t, 0) for t in chosen) == bound
