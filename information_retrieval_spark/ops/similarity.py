@@ -46,11 +46,26 @@ def _dot(a, b):
     )
 
 
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, rank, vec_id, sim_r): brute-force cosine top-10 for the
-    5-query set. Ties pinned to (-round(sim,9), vec_id)."""
-    e = _emb(spark, sf_dir)
-    q = e.filter(F.col("vec_id") < N_QUERY_VECS).select(
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k over (query_id, vec_id, sim):
+    ties pinned to (-round(sim,9), vec_id)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("sim", 9)), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
+    )
+
+
+def brute_topk(
+    e: DataFrame, n_query: int = N_QUERY_VECS, k: int = TOP_K
+) -> DataFrame:
+    """Brute-force cosine top-k for queries vec_id < n_query: one
+    broadcast-join scan of the corpus per batch — the exactness baseline
+    (and ground truth for `scripts/bench_ann_recall.py`)."""
+    q = e.filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     pairs = e.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("query_id"))
@@ -58,15 +73,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("qv"), F.col("qv")))
         * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
-    scored = pairs.select("query_id", "vec_id", sim.alias("sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("sim", 9)), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
-    )
+    return _rank_topk(pairs.select("query_id", "vec_id", sim.alias("sim")), k)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, vec_id, sim_r): brute-force cosine top-10 for the
+    5-query set. Ties pinned to (-round(sim,9), vec_id)."""
+    return brute_topk(_emb(spark, sf_dir))
 
 
 SQL_COSINE_TOPK = f"""
@@ -96,13 +109,16 @@ WHERE rank <= {TOP_K}
 N_TABLES = 4  # independent LSH tables; recall ≈ 1 − (1 − p)^L
 
 
-def _srp_planes(spark: SparkSession) -> DataFrame:
+def _srp_planes(
+    spark: SparkSession, n_tables: int = N_TABLES, n_bits: int = SRP_BITS
+) -> DataFrame:
     """(tbl, bit, dim, coef): deterministic pseudo-random hyperplane
-    coefficients in [-1, 1) for N_TABLES independent SRP tables,
+    coefficients in [-1, 1) for n_tables independent SRP tables,
     coef = portable_hash32('t<tbl>p<bit>d<dim>') / 2^31 − 1. Identical in
-    the DuckDB twin — bucketing is bit-reproducible across engines."""
-    t = spark.range(N_TABLES).select(F.col("id").cast("int").alias("tbl"))
-    b = spark.range(SRP_BITS).select(F.col("id").cast("int").alias("bit"))
+    the DuckDB twin — bucketing is bit-reproducible across engines, and a
+    (tbl, bit) subset of a wider configuration hashes identically."""
+    t = spark.range(n_tables).select(F.col("id").cast("int").alias("tbl"))
+    b = spark.range(n_bits).select(F.col("id").cast("int").alias("bit"))
     d = spark.range(DIM).select(F.col("id").cast("int").alias("dim"))
     return (
         t.crossJoin(b)
@@ -116,16 +132,18 @@ def _srp_planes(spark: SparkSession) -> DataFrame:
     )
 
 
-def srp_buckets(e: DataFrame) -> DataFrame:
+def srp_buckets(
+    e: DataFrame, n_tables: int = N_TABLES, n_bits: int = SRP_BITS
+) -> DataFrame:
     """(vec_id, tbl, bucket) over any (vec_id, embedding) DataFrame —
-    SRP_BITS-bit sign-random-projection bucket per vector per LSH table.
+    n_bits-bit sign-random-projection bucket per vector per LSH table.
     explode(embedding) ⨝broadcast planes → per-(vec,tbl,bit) dot sign →
     bit-pack. Shuffle grain: (vec_id, tbl, bit) then (vec_id, tbl) —
     never wider than the signature itself."""
     comp = e.select(
         "vec_id", F.posexplode("embedding").alias("dim", "x")
     ).withColumn("x", F.col("x").cast("double"))
-    planes = _srp_planes(e.sparkSession)
+    planes = _srp_planes(e.sparkSession, n_tables, n_bits)
     proj = (
         comp.join(F.broadcast(planes), "dim")
         .groupBy("vec_id", "tbl", "bit")
@@ -186,35 +204,39 @@ FROM proj GROUP BY vec_id, tbl
 SQL_SRP_BUCKETS = _sql_srp_buckets_over(_SQL_COMP_EMB)
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, rank, vec_id, sim_r): ANN top-k over multi-table SRP LSH —
-    candidates share a bucket with the query in ANY of the N_TABLES tables
-    (exact bucket + Hamming-1 multi-probe per table). The candidate join
-    keys on (tbl, bucket): per-query work is
-    ~ L·(SRP_BITS+1)/2^SRP_BITS of the corpus instead of a full scan."""
-    e = _emb(spark, sf_dir)
-    buckets = q_srp_buckets(spark, sf_dir)
+def lsh_topk(
+    e: DataFrame,
+    n_query: int = N_QUERY_VECS,
+    k: int = TOP_K,
+    n_tables: int = N_TABLES,
+    n_bits: int = SRP_BITS,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """ANN top-k over multi-table SRP LSH — candidates share a bucket with
+    the query in ANY of the n_tables tables (exact bucket + optional
+    Hamming-1 multi-probe per table). The candidate join keys on
+    (tbl, bucket): per-query work is ~ L·(n_bits+1)/2^n_bits of the corpus
+    instead of a full scan. (n_tables, n_bits, multi_probe) is the
+    recall/cost dial, measured in `scripts/bench_ann_recall.py`."""
+    buckets = srp_buckets(e, n_tables, n_bits)
     eb = e.join(buckets, "vec_id")
-    q = eb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    q = eb.filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("tbl"),
         F.col("bucket").alias("qbucket"),
     )
-    # multi-probe: exact bucket + flip each of the SRP_BITS bits
+    # multi-probe: exact bucket + flip each of the n_bits bits
+    probe_set = [F.col("qbucket")]
+    if multi_probe:
+        probe_set += [
+            F.col("qbucket").bitwiseXOR(F.lit(1 << b)) for b in range(n_bits)
+        ]
     probes = q.select(
         "query_id",
         "qv",
         "tbl",
-        F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << b))
-                    for b in range(SRP_BITS)
-                ],
-            )
-        ).alias("bucket"),
+        F.explode(F.array(*probe_set)).alias("bucket"),
     )
     cand = eb.join(F.broadcast(probes), ["tbl", "bucket"]).filter(
         F.col("vec_id") != F.col("query_id")
@@ -224,14 +246,13 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
     scored = cand.select("query_id", "vec_id", sim.alias("sim")).distinct()
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("sim", 9)), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
-    )
+    return _rank_topk(scored, k)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, vec_id, sim_r): ANN top-10 for the 5-query set
+    over multi-table SRP LSH at the library defaults."""
+    return lsh_topk(_emb(spark, sf_dir))
 
 
 SQL_ANN_LSH_TOPK = f"""
@@ -367,20 +388,26 @@ WHERE round(sim, 9) >= {DUP_TAU}
 N_PROBE = 2  # coarse-quantizer cells probed per query
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(query_id, rank, vec_id, sim_r): IVF-style ANN — the k-means
-    centroids (ops/ml.py, deterministic Lloyd) are the coarse quantizer;
-    each query probes its N_PROBE nearest cells and exact-reranks their
-    members by cosine. The candidate join keys on the cell id, so per-query
-    work is ~N_PROBE/K of the corpus; larger K shrinks the probe set (the
-    classic IVF recall/cost dial)."""
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_query: int = N_QUERY_VECS,
+    k: int = TOP_K,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """IVF-style ANN — the k-means centroids (ops/ml.py, deterministic
+    Lloyd) are the coarse quantizer; each query probes its n_probe nearest
+    cells and exact-reranks their members by cosine. The candidate join
+    keys on the cell id, so per-query work is ~n_probe/K of the corpus;
+    larger K shrinks the probe set (the classic IVF recall/cost dial,
+    measured in `scripts/bench_ann_recall.py`)."""
     from information_retrieval_spark.ops.ml import kmeans_assign, kmeans_centroids
 
     comp, cent = kmeans_centroids(spark, sf_dir)
     assign = kmeans_assign(comp, cent)
     e = _emb(spark, sf_dir).join(assign, "vec_id")
-    # per-query distance to every centroid → N_PROBE nearest cells
-    qcomp = comp.filter(F.col("vec_id") < N_QUERY_VECS)
+    # per-query distance to every centroid → n_probe nearest cells
+    qcomp = comp.filter(F.col("vec_id") < n_query)
     qdist = (
         qcomp.join(F.broadcast(cent), "dim")
         .groupBy(F.col("vec_id").alias("query_id"), "k")
@@ -391,10 +418,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         qdist.withColumn("r", F.row_number().over(wq))
-        .filter(F.col("r") <= N_PROBE)
+        .filter(F.col("r") <= n_probe)
         .select("query_id", F.col("k").alias("cluster"))
     )
-    q = _emb(spark, sf_dir).filter(F.col("vec_id") < N_QUERY_VECS).select(
+    q = _emb(spark, sf_dir).filter(F.col("vec_id") < n_query).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
     )
     cand = (
@@ -406,15 +433,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(_dot(F.col("qv"), F.col("qv")))
         * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     )
-    scored = cand.select("query_id", "vec_id", sim.alias("sim"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc(F.round("sim", 9)), F.asc("vec_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
-        .select("query_id", "rank", "vec_id", F.round("sim", 6).alias("sim_r"))
-    )
+    return _rank_topk(cand.select("query_id", "vec_id", sim.alias("sim")), k)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, rank, vec_id, sim_r): IVF ANN top-10 for the 5-query set
+    at the library defaults (N_PROBE cells probed)."""
+    return ivf_topk(spark, sf_dir)
 
 
 def _sql_ann_ivf() -> str:
