@@ -23,6 +23,23 @@ from information_retrieval_spark.query.engine import QuerySpec
 
 STOP_K = 20
 
+# one engine per index dir: WandEngine persists its doclen map + last
+# term shard across search() calls, so every battery entry that
+# constructs a fresh engine re-pays the dl_map fold AND strands the old
+# copy in executor storage (the accumulation tax measured in
+# BENCH/BASELINE.md's corpus-size section). Entries share one.
+_ENGINES: dict = {}
+
+
+def get_wand_engine(spark: SparkSession, idx: str):
+    from information_retrieval_spark.query.wand import WandEngine
+
+    eng = _ENGINES.get(idx)
+    if eng is None or eng.spark is not spark:
+        eng = WandEngine(spark, idx)
+        _ENGINES[idx] = eng
+    return eng
+
 
 def ensure_documents_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once) the persisted index over ``documents`` at sf_dir."""
@@ -43,10 +60,8 @@ def ensure_documents_index(spark: SparkSession, sf_dir: str) -> str:
 def q_wand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 via block-max WAND over the packed index — must equal
     the declarative BM25 plan (oracle: SQL_BM25_TOPK)."""
-    from information_retrieval_spark.query.wand import WandEngine
-
     idx = ensure_documents_index(spark, sf_dir)
-    eng = WandEngine(spark, idx)
+    eng = get_wand_engine(spark, idx)
     specs = [
         QuerySpec(qid, text, "okapi25", 10, spell=False, match_mode="exact")
         for qid, text in QUERY_SET
@@ -271,10 +286,8 @@ def q_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket-aligned meta channel; the WAND cursor machine skips
     disallowed docs without decoding their postings blocks."""
     from information_retrieval_spark.ops.ir_direct import BM25_FILTER_SET
-    from information_retrieval_spark.query.wand import WandEngine
-
     idx = ensure_documents_index(spark, sf_dir)
-    eng = WandEngine(spark, idx)
+    eng = get_wand_engine(spark, idx)
     specs = []
     for qid, text in QUERY_SET:
         m, x = BM25_FILTER_SET.get(qid, ("", ""))

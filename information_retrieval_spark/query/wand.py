@@ -358,6 +358,31 @@ class WandEngine:
         self._bigram_dict = None
         self._vocab_over_cap = False
 
+    def close(self) -> None:
+        """Release this engine's persisted executor state (the doclen map
+        and the last batch's term shard). A WandEngine keeps both cached
+        across ``search()`` calls so a query stream amortizes them; a
+        long-lived process that cycles through many engines (one per
+        index/snapshot — e.g. a size sweep, a multi-tenant server) must
+        close each one or the abandoned cache blocks accumulate in
+        executor storage memory until eviction churn taxes every later
+        job (measured: a 3-size sweep that skipped close() showed 2.7×
+        on the LAST index's warm query batch vs the same batch isolated;
+        BENCH/BASELINE.md corpus-size section). Idempotent; the engine
+        remains usable after close() — the next search() re-caches."""
+        if self._dl_map_df is not None:
+            self._dl_map_df.unpersist()
+            self._dl_map_df = None
+        if self._last_shard is not None:
+            self._last_shard.unpersist()
+            self._last_shard = None
+
+    def __enter__(self) -> "WandEngine":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
     # ------------------------------------------------------------- helpers
 
     def _dl_map(self):

@@ -93,6 +93,7 @@ def run_size(spark, n: int) -> dict:
         tokenizer="code", n_buckets=N_BUCKETS,
     ).build(corpus)
     build_s = time.time() - t0
+    eng = None
     try:
         eng = WandEngine(spark, idx)
         broad = [
@@ -133,6 +134,13 @@ def run_size(spark, n: int) -> dict:
             "selective_rows": sel_rows,
         }
     finally:
+        # release THIS size's persisted engine state before the next size
+        # runs in the same JVM — without it the sweep accumulates every
+        # prior index's doclen map + term shard in executor storage and
+        # the largest size pays eviction churn on every job (measured
+        # 2.7× on the 1M selective batch; see BENCH/BASELINE.md)
+        if eng is not None:
+            eng.close()
         shutil.rmtree(idx, ignore_errors=True)
 
 

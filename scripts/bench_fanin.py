@@ -75,13 +75,17 @@ def main() -> None:
             n_seg = len(Catalog(idx).table_dirs("packed"))
             assert n_seg == s, (n_seg, s)
 
-            eng = WandEngine(spark, idx)
-            eng.search(specs).collect()  # warm
-            lat = []
-            for _ in range(QUERY_REPS):
-                t0 = time.time()
-                eng.search(specs).collect()
-                lat.append(time.time() - t0)
+            # context-managed: each segment count's engine releases its
+            # persisted doclen map + shard before the next iteration, so
+            # later points don't pay storage-accumulation churn for
+            # earlier ones (see WandEngine.close)
+            with WandEngine(spark, idx) as eng:
+                eng.search(specs).collect()  # warm
+                lat = []
+                for _ in range(QUERY_REPS):
+                    t0 = time.time()
+                    eng.search(specs).collect()
+                    lat.append(time.time() - t0)
             lat.sort()
             p50 = lat[len(lat) // 2]
             rows.append((s, p50, add_s))

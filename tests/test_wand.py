@@ -167,3 +167,33 @@ def test_wand_prefix_expansion_cap(spark, index_dir, wand):
     assert [tuple(r) for r in roomy.search(spec).collect()] == [
         tuple(r) for r in wand.search(spec).collect()
     ]
+
+
+def test_wand_close_releases_cache_and_engine_survives(spark, index_dir):
+    """close() must drop BOTH persisted blocks (doclen map + last shard)
+    from executor storage — a long-lived process cycling engines leaks
+    storage memory otherwise (measured 2.7× query-tax in the corpus-size
+    sweep, BENCH/BASELINE.md) — and the engine must stay usable: the next
+    search() re-caches and answers identically."""
+    from pyspark import StorageLevel
+
+    from information_retrieval_spark.query.wand import WandEngine
+
+    none = StorageLevel(False, False, False, False, 1)
+    spec = [QuerySpec(950, "tokenizer stream", "okapi25", 5,
+                      spell=False, match_mode="exact")]
+    with WandEngine(spark, index_dir) as eng:
+        first = [tuple(r) for r in eng.search(spec).collect()]
+        dl, shard = eng._dl_map_df, eng._last_shard
+        assert dl is not None and dl.storageLevel != none
+        assert shard is not None and shard.storageLevel != none
+        eng.close()
+        # blocks unpersisted AND references dropped (nothing retains them)
+        assert dl.storageLevel == none and shard.storageLevel == none
+        assert eng._dl_map_df is None and eng._last_shard is None
+        eng.close()  # idempotent
+        again = [tuple(r) for r in eng.search(spec).collect()]
+        assert again == first  # still usable after close: re-caches
+        dl2 = eng._dl_map_df
+        assert dl2 is not None and dl2.storageLevel != none
+    assert dl2.storageLevel == none  # __exit__ released the re-cache
