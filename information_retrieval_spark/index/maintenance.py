@@ -98,16 +98,33 @@ class IndexMaintenance:
         spark: SparkSession,
         index_dir: str,
         auto_compact_segments: int | None = None,
+        auto_compact_mode: str = "full",
     ):
         """``auto_compact_segments``: when set, an add whose commit leaves
         MORE than this many LSM segments triggers ``compact()`` — the
         Lucene-style amortization that bounds per-query segment fan-in
         (each segment adds one cursor per (term, section) to WAND) while
         keeping the common-case add delta-priced. None (default) leaves
-        compaction fully explicit."""
+        compaction fully explicit.
+
+        ``auto_compact_mode``: ``"full"`` (default) merges ALL segments —
+        a whole-index rewrite, fine at this scale, wrong economics at
+        10^12 files where the base segment dwarfs every delta.
+        ``"tiered"`` merges only the DELTA segments (1..N), never
+        rewriting the base: auto-compaction cost stays ∝ accumulated
+        delta bytes and the base's packed dirs are byte-identical across
+        compactions (pytest-pinned). Deletes against merged segments are
+        applied physically; deletes against the base stay in the delete
+        vector until an explicit full ``compact()``."""
+        if auto_compact_mode not in ("full", "tiered"):
+            raise ValueError(
+                f"auto_compact_mode must be 'full' or 'tiered',"
+                f" got {auto_compact_mode!r}"
+            )
         self.spark = spark
         self.index_dir = index_dir
         self.auto_compact_segments = auto_compact_segments
+        self.auto_compact_mode = auto_compact_mode
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.config = json.load(f)["config"]
         self.cat = Catalog(index_dir)
@@ -160,11 +177,14 @@ class IndexMaintenance:
         return n_add
 
     def _maybe_auto_compact(self) -> None:
-        if (
-            self.auto_compact_segments is not None
-            and len(self.cat.table_dirs("packed"))
-            > self.auto_compact_segments
-        ):
+        if self.auto_compact_segments is None:
+            return
+        n = len(self.cat.table_dirs("packed"))
+        if n <= self.auto_compact_segments:
+            return
+        if self.auto_compact_mode == "tiered":
+            self.compact(segments=list(range(1, n)))
+        else:
             self.compact()
 
     def _delta_fp(self, delta: DataFrame) -> str:
@@ -415,13 +435,24 @@ class IndexMaintenance:
 
     # -------------------------------------------------------------- compact
 
-    def compact(self) -> None:
-        """Physically drop deleted docs AND merge all LSM segments into
+    def compact(self, segments: list[int] | None = None) -> None:
+        """Physically drop deleted docs AND merge LSM segments.
+
+        ``segments=None`` (default): merge ALL segments into
         one: rewrite postings/doclen/doc_meta/packed, re-derive
         term_df/stats/lineage, clear the delete vector — all new dirs,
         published by a single snapshot commit. A crash anywhere leaves the
         previous snapshot intact; the re-run recomputes from it and
         converges (orphaned dirs are GC'd by ``expire``).
+
+        ``segments=[i, j, ...]``: TIERED (partial) compaction — merge only
+        the named segments (indices into the packed dir list, 0 = base)
+        into one new segment, leaving every other segment's files
+        untouched. Cost ∝ the merged segments' bytes, never the index:
+        the 10^12-file economics, where a full rewrite per compaction is
+        unpayable. Deletes hitting merged segments are applied physically
+        and removed from the delete vector; deletes against unmerged
+        segments stay logical. See ``_compact_segments``.
 
         Deleted docs that never produced a doclen row (all-stop-word
         content) are a documented blind spot of the live-doc count.
@@ -443,6 +474,8 @@ class IndexMaintenance:
                 " now would be silently undone by their recovery commit;"
                 " run recover_stages() (or retry the crashed add) first"
             )
+        if segments is not None:
+            return self._compact_segments(segments)
         d = self.deleted()
         n_segments = len(self.cat.table_dirs("packed"))
         if d is None and n_segments <= 1:
@@ -530,6 +563,170 @@ class IndexMaintenance:
             "compact",
             {"stage_token": token, "n_removed": n_del,
              "segments_merged": n_segments},
+        )
+
+    # ---------------------------------------------------- tiered compaction
+
+    # tables with one data dir PER SEGMENT, in catalog list order (the
+    # base build commits one dir each; every add appends exactly one —
+    # _STAGE_TABLES): partial compaction splices these lists in lockstep
+    _SEGMENTED_TABLES = (
+        "postings_flat", "doclen", "packed", "lineage", "term_df", "vocab",
+    )
+
+    def _compact_segments(self, segments: list[int]) -> None:
+        """Merge ONLY ``segments`` (packed-dir-list indices) into one new
+        segment; every other segment's files are untouched — the catalog
+        commit just splices the new dir in at the merged run's first
+        position. Reads, shuffles, and writes are all bounded by the
+        merged segments' bytes, so a size-tiered maintenance policy can
+        keep query fan-in low (BENCH fan-in table) without ever paying a
+        base-segment rewrite. RocksDB/Lucene tiered-merge economics on
+        the snapshot catalog.
+
+        Deletes: tombstones hitting merged segments' docs are applied
+        physically and REMOVED from the delete vector (so a later full
+        compact's n_docs decrement never double-counts them); tombstones
+        against unmerged segments stay in the vector and keep filtering
+        at query time. Same all-stop-word blind spot as full compact.
+        Crash safety: identical to full compact — fresh dirs only, one
+        atomic snapshot commit at the end."""
+        spark = self.spark
+        segs = sorted(set(int(s) for s in segments))
+        if not segs:
+            raise ValueError("segments must name at least one segment")
+        dirs = {t: self.cat.table_dirs(t) for t in self._SEGMENTED_TABLES}
+        has_meta = bool(self.cat.table_dirs("doc_meta"))
+        if has_meta:
+            dirs["doc_meta"] = self.cat.table_dirs("doc_meta")
+        n_seg = len(dirs["packed"])
+        bad_len = {t: len(d) for t, d in dirs.items() if len(d) != n_seg}
+        if bad_len:
+            raise RuntimeError(
+                "partial compaction needs per-segment dir alignment, but"
+                f" {bad_len} differ from packed's {n_seg} — this index's"
+                " history broke the one-dir-per-segment invariant; run a"
+                " full compact() instead"
+            )
+        if segs[0] < 0 or segs[-1] >= n_seg:
+            raise ValueError(
+                f"segment indices {segs} out of range for {n_seg} segments"
+            )
+        d = self.deleted()
+        if len(segs) == 1 and d is None:
+            return  # nothing to merge, nothing to drop
+        token = uuid.uuid4().hex[:12]
+
+        def union_dirs(table: str) -> DataFrame:
+            parts = [spark.read.parquet(dirs[table][i]) for i in segs]
+            out = parts[0]
+            for pt in parts[1:]:
+                out = out.unionByName(pt)
+            return out
+
+        changes: dict = {}
+        new_rel: dict[str, str] = {}
+
+        def fresh(table: str) -> str:
+            rel = self.cat.new_data_dir(table, token)
+            new_rel[table] = rel
+            return self.cat.abspath(rel)
+
+        dd_all = (
+            d.select("doc_id").distinct()
+            if d is not None
+            else spark.createDataFrame([], "doc_id long")
+        )
+        merged_docs = union_dirs("doclen").select("doc_id").distinct()
+        # tombstones split by whether their doc lives in a merged segment:
+        # those are applied physically below; the rest stay logical
+        n_del_sub = dd_all.join(merged_docs, "doc_id", "semi").count()
+        dd = F.broadcast(dd_all)
+
+        for table in ("postings_flat", "doclen"):
+            union_dirs(table).join(dd, "doc_id", "left_anti").write.mode(
+                "overwrite"
+            ).parquet(fresh(table))
+        new_postings = spark.read.parquet(
+            self.cat.abspath(new_rel["postings_flat"])
+        )
+        new_doclen = spark.read.parquet(self.cat.abspath(new_rel["doclen"]))
+
+        if has_meta:
+            union_dirs("doc_meta").join(
+                dd, "doc_id", "left_anti"
+            ).sortWithinPartitions("doc_id").write.mode(
+                "overwrite"
+            ).partitionBy("category").parquet(fresh("doc_meta"))
+
+        # merge-on-read aggregates: the merged segments' delta dirs are
+        # replaced by ONE re-derived dir, so the cross-dir sum (term_df)
+        # and distinct-union (vocab) stay exact
+        new_postings.groupBy("term").agg(
+            F.countDistinct("doc_id").alias("df")
+        ).write.mode("overwrite").parquet(fresh("term_df"))
+        union_dirs("vocab").distinct().write.mode("overwrite").parquet(
+            fresh("vocab")
+        )
+
+        from information_retrieval_spark.index.pack import pack_postings
+
+        packed_dir = fresh("packed")
+        pack_postings(new_postings, new_doclen, packed_dir)
+
+        lineage_frame(
+            {
+                "postings_flat": new_postings,
+                "doclen": new_doclen,
+                "packed": spark.read.parquet(packed_dir),
+            }
+        ).write.mode("overwrite").parquet(fresh("lineage"))
+
+        st = read_stats_pdf(self.index_dir).copy()
+        st["n_docs"] = int(st["n_docs"].iloc[0]) - n_del_sub
+        stats_dir = fresh("stats")
+        os.makedirs(stats_dir, exist_ok=True)
+        st.to_parquet(os.path.join(stats_dir, "stats.parquet"))
+        changes["stats"] = ("set", [new_rel["stats"]])
+
+        # splice: keep unmerged dirs in order, new dir at the merged run's
+        # first position (RELATIVE paths — the snapshot stores relatives)
+        keep = set(segs)
+        for table in list(self._SEGMENTED_TABLES) + (
+            ["doc_meta"] if has_meta else []
+        ):
+            snap_dirs = list(
+                self.cat.load(self.cat.current_version())["tables"][table]
+            )
+            spliced = []
+            for i, rel in enumerate(snap_dirs):
+                if i == segs[0]:
+                    spliced.append(new_rel[table])
+                if i not in keep:
+                    spliced.append(rel)
+            changes[table] = ("set", spliced)
+
+        if d is not None:
+            remaining = dd_all.join(merged_docs, "doc_id", "left_anti")
+            if remaining.limit(1).count():
+                remaining.write.mode("overwrite").parquet(
+                    fresh("deleted_docs")
+                )
+                changes["deleted_docs"] = ("set", [new_rel["deleted_docs"]])
+            else:
+                changes["deleted_docs"] = ("drop", None)
+
+        self.cat.commit(
+            changes,
+            "compact",
+            {
+                "stage_token": token,
+                "n_removed": n_del_sub,
+                "segments_merged": segs,
+                "partial": True,
+                "n_segments_before": n_seg,
+                "n_segments_after": n_seg - len(segs) + 1,
+            },
         )
 
     # ------------------------------------------------------------------- GC

@@ -651,3 +651,211 @@ def test_recover_crash_mid_recovery_is_idempotent(
     assert _results(SearchEngine(spark, d)) == _results(
         SearchEngine(spark, fresh)
     )
+
+
+# ------------------------------------------------- tiered (partial) compact
+
+
+def test_partial_compact_merges_subset_only(spark, tmp_path_factory):
+    """compact(segments=[1,2]) merges just those delta segments: segment
+    count drops by one, the BASE packed dir is byte-identical (same
+    catalog path — never rewritten: the 10^12-file economics), answers
+    are unchanged, and the postings content hash still equals the
+    fresh-build hash."""
+    from information_retrieval_spark.index.build import index_content_hash
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(180)
+    d = str(tmp_path_factory.mktemp("tiered"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:140]))
+    maint.add_documents(_df(spark, rows[140:160]))
+    maint.add_documents(_df(spark, rows[160:180]))
+    assert len(table_dirs(d, "packed")) == 4
+
+    want = _results(SearchEngine(spark, d))
+    pre_hash = index_content_hash(spark, d)
+    base_dir = table_dirs(d, "packed")[0]
+    last_dir = table_dirs(d, "packed")[3]
+
+    maint.compact(segments=[1, 2])
+    dirs = table_dirs(d, "packed")
+    assert len(dirs) == 3
+    assert dirs[0] == base_dir          # base untouched
+    assert dirs[2] == last_dir          # unmerged tail untouched
+    assert dirs[1] not in (base_dir, last_dir)  # the new merged segment
+    assert index_content_hash(spark, d) == pre_hash
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+    # merging the rest converges to one segment, same answers
+    maint.compact(segments=[0, 1, 2])
+    assert len(table_dirs(d, "packed")) == 1
+    assert _results(WandEngine(spark, d)) == want
+
+
+def test_partial_compact_applies_deletes_to_merged_segments_only(
+    spark, tmp_path_factory
+):
+    """Tombstones on merged segments are applied physically and leave the
+    delete vector; tombstones on the base stay logical (vector intact,
+    query-time filtered). n_docs accounting stays exact through the
+    partial → full compact sequence."""
+    from information_retrieval_spark.index.catalog import (
+        read_stats_pdf,
+        read_table,
+        table_dirs,
+    )
+
+    rows = corpus_rows(180)
+    base_removed = {rows[10].doc_id, rows[11].doc_id}       # live in base
+    delta_removed = {rows[130].doc_id, rows[150].doc_id}    # live in deltas
+    kept = [
+        r for r in rows if r.doc_id not in base_removed | delta_removed
+    ]
+
+    d = str(tmp_path_factory.mktemp("tierdel"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:150]))
+    maint.add_documents(_df(spark, rows[150:180]))
+    maint.remove_documents(sorted(base_removed | delta_removed))
+
+    fresh = str(tmp_path_factory.mktemp("tierdel_fresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, kept))
+    want = _results(SearchEngine(spark, fresh))
+
+    n0 = int(read_stats_pdf(d)["n_docs"].iloc[0])
+    assert n0 == 180  # logical deletes don't touch stats
+
+    maint.compact(segments=[1, 2])
+    # the two delta tombstones were applied physically and dropped from
+    # the vector; the two base tombstones remain logical
+    vec = {r.doc_id for r in read_table(spark, d, "deleted_docs").collect()}
+    assert vec == base_removed
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == n0 - len(delta_removed)
+    assert len(table_dirs(d, "packed")) == 2
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+    # full compact applies the rest exactly once
+    maint.compact()
+    assert table_dirs(d, "deleted_docs") == []
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == len(kept)
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+
+def test_partial_compact_validates_input(spark, tmp_path_factory):
+    rows = corpus_rows(140)
+    d = str(tmp_path_factory.mktemp("tierval"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:140]))
+    with pytest.raises(ValueError, match="out of range"):
+        maint.compact(segments=[0, 5])
+    with pytest.raises(ValueError, match="at least one"):
+        maint.compact(segments=[])
+    want = _results(WandEngine(spark, d))
+    maint.compact(segments=[1])  # single segment, no deletes: no-op
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    assert len(table_dirs(d, "packed")) == 2
+    assert _results(WandEngine(spark, d)) == want
+
+
+def test_auto_compact_tiered_never_rewrites_base(spark, tmp_path_factory):
+    """auto_compact_mode='tiered' bounds the segment count by merging only
+    the delta segments — across multiple auto-compactions the base packed
+    dir path never changes, and answers always match a fresh build."""
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(200)
+    d = str(tmp_path_factory.mktemp("tierauto"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    base_dir = table_dirs(d, "packed")[0]
+    maint = IndexMaintenance(
+        spark, d, auto_compact_segments=2, auto_compact_mode="tiered"
+    )
+    for lo in range(120, 200, 20):
+        maint.add_documents(_df(spark, rows[lo:lo + 20]))
+        assert len(table_dirs(d, "packed")) <= 3  # bound honored (2 + fresh add)
+        assert table_dirs(d, "packed")[0] == base_dir  # base never rewritten
+
+    fresh = str(tmp_path_factory.mktemp("tierauto_fresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows))
+    assert _results(SearchEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
+    assert _results(WandEngine(spark, d)) == _results(
+        SearchEngine(spark, fresh)
+    )
+
+
+def test_auto_compact_mode_validated(spark, tmp_path_factory):
+    rows = corpus_rows(120)
+    d = str(tmp_path_factory.mktemp("tiermode"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows)
+    )
+    with pytest.raises(ValueError, match="auto_compact_mode"):
+        IndexMaintenance(spark, d, auto_compact_mode="sideways")
+
+
+def test_partial_compact_with_categories_and_deletes(spark, tmp_path_factory):
+    """The doc_meta splice path: a categorized index partial-compacts with
+    tombstones in AND out of the merged range; filtered and unfiltered
+    answers match a fresh build over the kept docs on both engines."""
+    rows = corpus_rows(180)
+    removed = {rows[125].doc_id, rows[30].doc_id}  # one delta doc, one base
+    kept = [r for r in rows if r.doc_id not in removed]
+
+    d = str(tmp_path_factory.mktemp("tiercat"))
+    IndexBuilder(
+        spark, d, SECTIONS, tokenizer="code", stop_k=10, category_col="lang"
+    ).build(_df(spark, rows[:120]))
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:150]))
+    maint.add_documents(_df(spark, rows[150:180]))
+    maint.remove_documents(sorted(removed))
+    maint.compact(segments=[1, 2])
+
+    fresh = str(tmp_path_factory.mktemp("tiercat_fresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        category_col="lang", stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, kept))
+
+    specs = QUERIES + [
+        QuerySpec(4, "tokenizer stream", "okapi25", 10, spell=False,
+                  match_mode="exact", filter_category="java"),
+    ]
+
+    def res(engine):
+        out = {}
+        for r in engine.search(specs).collect():
+            out.setdefault(r.query_id, []).append(
+                (r.rank, r.doc_id, round(r.score, 9))
+            )
+        for v in out.values():
+            v.sort()
+        return out
+
+    want = res(SearchEngine(spark, fresh))
+    assert res(SearchEngine(spark, d)) == want
+    assert res(WandEngine(spark, d)) == want
