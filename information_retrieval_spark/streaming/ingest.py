@@ -84,13 +84,23 @@ def run_incremental_indexing(
     schema: T.StructType = CORPUS_SCHEMA,
     reader_options: dict[str, str] | None = None,
     trigger_interval: str = "10 seconds",
+    auto_compact_segments: int | None = None,
+    auto_compact_mode: str = "tiered",
 ):
     """Drain (or continuously consume) parquet files from ``watch_dir`` into
     the index at ``index_dir``. Returns the StreamingQuery (already
     terminated when ``available_now``). ``reader_options`` pass through to
     the file source (e.g. ``{"maxFilesPerTrigger": "1"}`` to bound each
     micro-batch — and therefore each staged snapshot commit — to one
-    landed file even under an availableNow catch-up drain)."""
+    landed file even under an availableNow catch-up drain).
+
+    ``auto_compact_segments``/``auto_compact_mode`` apply the same
+    segment-count compaction trigger as ``IndexMaintenance`` to each
+    micro-batch's add. The streaming default is TIERED: a continuous
+    ingest compacts on every ~K-th batch forever, so per-compaction cost
+    must stay ∝ accumulated delta bytes — a full-rewrite default would
+    make steady-state ingest cost grow with the index
+    (BENCH/BASELINE.md "Tiered vs full compaction")."""
     from information_retrieval_spark.index.maintenance import IndexMaintenance
 
     reader = spark.readStream.schema(schema)
@@ -104,7 +114,11 @@ def run_incremental_indexing(
             # replay after the committed snapshot: drop any leftover stage
             shutil.rmtree(stage, ignore_errors=True)
             return
-        maint = IndexMaintenance(spark, index_dir)
+        maint = IndexMaintenance(
+            spark, index_dir,
+            auto_compact_segments=auto_compact_segments,
+            auto_compact_mode=auto_compact_mode,
+        )
         if IndexMaintenance.is_staged(stage):
             # crash happened mid-commit: finish committing the FROZEN stage
             # (never re-stage — the staged aggregates were merged against
@@ -118,6 +132,11 @@ def run_incremental_indexing(
                 return
             maint.stage_add(batch_df, stage)
             maint.commit_add(stage, batch_id=int(batch_id))
+        # amortized merge AFTER the batch's snapshot landed but BEFORE the
+        # stage drops — same ordering rationale as add_documents: a crash
+        # in compact leaves the frozen committed stage, the replay's
+        # batch_applied/commit_add no-op on it and only the compact reruns
+        maint._maybe_auto_compact()
         shutil.rmtree(stage, ignore_errors=True)
 
     writer = (

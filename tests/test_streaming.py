@@ -10,6 +10,7 @@ import pyarrow.parquet as pq
 from information_retrieval_spark.fixtures import corpus_rows
 from information_retrieval_spark.index.build import IndexBuilder
 from information_retrieval_spark.query.engine import QuerySpec, SearchEngine
+from information_retrieval_spark.query.wand import WandEngine
 from information_retrieval_spark.streaming.ingest import run_incremental_indexing
 
 SECTIONS = {"title": "path", "abstract": "content"}
@@ -139,4 +140,49 @@ def test_crash_mid_commit_recovers_exactly_once(spark, tmp_path):
     assert (
         read_table(spark, idx, "postings_flat").count()
         == read_table(spark, fresh, "postings_flat").count()
+    )
+
+
+def test_streaming_ingest_auto_compacts_tiered(spark, tmp_path):
+    """Continuous ingest with the tiered auto-compaction default: each
+    over-bound micro-batch merges only the delta segments — the base
+    packed dir path survives the whole drain (never rewritten), segment
+    count stays bounded, answers match a fresh batch build."""
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(160)
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+
+    IndexBuilder(spark, idx, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:100])
+    )
+    stop = [
+        r.term
+        for r in spark.read.parquet(f"{idx}/stopwords").orderBy("rank").collect()
+    ]
+    base_dir = table_dirs(idx, "packed")[0]
+
+    for i, lo in enumerate(range(100, 160, 20)):
+        _write_rows(str(watch / f"p{i}.parquet"), rows[lo:lo + 20])
+    run_incremental_indexing(
+        spark, idx, str(watch), cp,
+        reader_options={"maxFilesPerTrigger": "1"},
+        auto_compact_segments=2,
+    )
+
+    assert table_dirs(idx, "packed")[0] == base_dir  # base never rewritten
+    assert len(table_dirs(idx, "packed")) <= 3
+
+    fresh = str(tmp_path / "fresh")
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10, stop_terms=stop
+    ).build(_df(spark, rows))
+    assert _results(SearchEngine(spark, idx)) == _results(
+        SearchEngine(spark, fresh)
+    )
+    assert _results(WandEngine(spark, idx)) == _results(
+        SearchEngine(spark, fresh)
     )
