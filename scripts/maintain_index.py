@@ -7,8 +7,13 @@ Cluster:
 Commands:
   add --delta <parquet>          append a delta corpus as a new LSM segment
       [--auto-compact N]         merge segments once an add leaves > N
+      [--compact-mode full|tiered]  what the trigger merges (tiered =
+                                 delta segments only)
   remove --doc-ids 1,2,3         logical delete (delete-vector commit)
-  compact                        drop deletes + merge all segments
+  compact [--segments 1,2]       drop deletes + merge segments; with
+                                 --segments, a TIERED merge of only those
+                                 segment indices (0 = base) — cost ∝
+                                 their bytes, base never rewritten
                                  (refuses over a frozen uncommitted stage)
   recover                        finish the commit of crashed (frozen) stages
   expire [--keep-last N]         drop old snapshots + GC data dirs
@@ -35,11 +40,16 @@ def main() -> None:
     p_add = sub.add_parser("add")
     p_add.add_argument("--delta", required=True, help="parquet path of new docs")
     p_add.add_argument("--auto-compact", type=int, default=None)
+    p_add.add_argument("--compact-mode", choices=("full", "tiered"),
+                       default="full")
 
     p_rm = sub.add_parser("remove")
     p_rm.add_argument("--doc-ids", required=True, help="comma list of doc ids")
 
-    sub.add_parser("compact")
+    p_cp = sub.add_parser("compact")
+    p_cp.add_argument("--segments", default=None,
+                      help="comma list of segment indices for a tiered"
+                           " (partial) merge; omit to merge everything")
 
     sub.add_parser("recover")
 
@@ -76,6 +86,7 @@ def main() -> None:
         spark,
         args.index_dir,
         auto_compact_segments=getattr(args, "auto_compact", None),
+        auto_compact_mode=getattr(args, "compact_mode", "full"),
     )
     if args.command == "add":
         n = maint.add_documents(spark.read.parquet(args.delta))
@@ -85,8 +96,13 @@ def main() -> None:
         maint.remove_documents(ids)
         out = {"removed": len(ids)}
     elif args.command == "compact":
-        maint.compact()
-        out = {"compacted": True}
+        segs = (
+            [int(x) for x in args.segments.split(",") if x]
+            if args.segments
+            else None
+        )
+        maint.compact(segments=segs)
+        out = {"compacted": True, "segments": segs}
     elif args.command == "recover":
         out = {"recovered_stages": maint.recover_stages()}
     elif args.command == "expire":
