@@ -574,6 +574,36 @@ class IndexMaintenance:
         "postings_flat", "doclen", "packed", "lineage", "term_df", "vocab",
     )
 
+    def segment_sizes(self) -> list[int]:
+        """On-disk bytes of each packed segment, in segment order —
+        the input to size-tiered merge planning."""
+        sizes = []
+        for d in self.cat.table_dirs("packed"):
+            total = 0
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            sizes.append(total)
+        return sizes
+
+    def plan_compaction(self, max_segments: int) -> list[int] | None:
+        """Size-tiered merge plan: the CHEAPEST segment subset whose merge
+        brings the count down to ``max_segments``. Merging k segments
+        reduces the count by k-1 and costs ∝ their bytes, so the optimal
+        set is simply the (n - max_segments + 1) SMALLEST segments —
+        usually the recent deltas, but a shrunken base qualifies too
+        (RocksDB-style size tiering, not age tiering). Returns None when
+        the count is already within bound; feed the result to
+        ``compact(segments=...)``."""
+        if max_segments < 1:
+            raise ValueError("max_segments must be >= 1")
+        sizes = self.segment_sizes()
+        k = len(sizes) - max_segments + 1
+        if k < 2:
+            return None
+        by_size = sorted(range(len(sizes)), key=lambda i: (sizes[i], i))
+        return sorted(by_size[:k])
+
     def _compact_segments(self, segments: list[int]) -> None:
         """Merge ONLY ``segments`` (packed-dir-list indices) into one new
         segment; every other segment's files are untouched — the catalog

@@ -10,7 +10,7 @@ Commands:
       [--compact-mode full|tiered]  what the trigger merges (tiered =
                                  delta segments only)
   remove --doc-ids 1,2,3         logical delete (delete-vector commit)
-  compact [--segments 1,2]       drop deletes + merge segments; with
+  compact [--segments 1,2 | --to N]  drop deletes + merge segments; with
                                  --segments, a TIERED merge of only those
                                  segment indices (0 = base) — cost ∝
                                  their bytes, base never rewritten
@@ -50,6 +50,11 @@ def main() -> None:
     p_cp.add_argument("--segments", default=None,
                       help="comma list of segment indices for a tiered"
                            " (partial) merge; omit to merge everything")
+    p_cp.add_argument("--to", type=int, default=None, dest="to_segments",
+                      help="size-tiered plan: merge the cheapest subset"
+                           " that brings the segment count down to N"
+                           " (plan_compaction); mutually exclusive with"
+                           " --segments")
 
     sub.add_parser("recover")
 
@@ -96,11 +101,21 @@ def main() -> None:
         maint.remove_documents(ids)
         out = {"removed": len(ids)}
     elif args.command == "compact":
-        segs = (
-            [int(x) for x in args.segments.split(",") if x]
-            if args.segments
-            else None
-        )
+        if args.segments and args.to_segments is not None:
+            raise SystemExit("--segments and --to are mutually exclusive")
+        if args.to_segments is not None:
+            segs = maint.plan_compaction(args.to_segments)
+            if segs is None:
+                print(json.dumps({"compacted": False, "reason": "already"
+                                  " within bound",
+                                  "version": maint.cat.current_version()}))
+                return
+        else:
+            segs = (
+                [int(x) for x in args.segments.split(",") if x]
+                if args.segments
+                else None
+            )
         maint.compact(segments=segs)
         out = {"compacted": True, "segments": segs}
     elif args.command == "recover":

@@ -859,3 +859,37 @@ def test_partial_compact_with_categories_and_deletes(spark, tmp_path_factory):
     want = res(SearchEngine(spark, fresh))
     assert res(SearchEngine(spark, d)) == want
     assert res(WandEngine(spark, d)) == want
+
+
+def test_plan_compaction_picks_smallest_segments(spark, tmp_path_factory):
+    """plan_compaction returns the cheapest (smallest-bytes) subset that
+    reaches the target count; executing the plan honors the bound and
+    leaves the big base untouched."""
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(180)
+    d = str(tmp_path_factory.mktemp("plan"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])  # big base
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:160]))  # bigger delta
+    maint.add_documents(_df(spark, rows[160:170]))  # small delta
+    maint.add_documents(_df(spark, rows[170:180]))  # small delta
+
+    sizes = maint.segment_sizes()
+    assert len(sizes) == 4 and sizes[0] == max(sizes)  # base dominates
+
+    assert maint.plan_compaction(4) is None             # already in bound
+    assert maint.plan_compaction(3) == [2, 3]           # two smallest
+    plan = maint.plan_compaction(2)
+    assert plan == [1, 2, 3]                            # all but the base
+    with pytest.raises(ValueError, match="max_segments"):
+        maint.plan_compaction(0)
+
+    base_dir = table_dirs(d, "packed")[0]
+    want = _results(WandEngine(spark, d))
+    maint.compact(segments=plan)
+    assert len(table_dirs(d, "packed")) == 2
+    assert table_dirs(d, "packed")[0] == base_dir
+    assert _results(WandEngine(spark, d)) == want
