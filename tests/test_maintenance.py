@@ -893,3 +893,57 @@ def test_plan_compaction_picks_smallest_segments(spark, tmp_path_factory):
     assert len(table_dirs(d, "packed")) == 2
     assert table_dirs(d, "packed")[0] == base_dir
     assert _results(WandEngine(spark, d)) == want
+
+
+def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
+    """Seeded random interleaving of add / remove / tiered-compact /
+    full-compact, model-checked after EVERY step against a fresh build
+    over exactly the live docs (stop list pinned). Pins the mutation
+    algebra: tombstones survive partial compacts they don't cover,
+    n_docs stays exact, both engines agree with the model throughout."""
+    import random
+
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rng = random.Random(20260819)
+    rows = corpus_rows(200)
+    by_id = {r.doc_id: r for r in rows}
+
+    d = str(tmp_path_factory.mktemp("algebra"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:100])
+    )
+    stop = _stop_of(spark, d)
+    maint = IndexMaintenance(spark, d)
+    live = {r.doc_id for r in rows[:100]}
+    unadded = [rows[i:i + 20] for i in range(100, 200, 20)]
+
+    def check(step):
+        fresh = str(tmp_path_factory.mktemp(f"algebra_m{step}"))
+        IndexBuilder(
+            spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+            stop_terms=stop,
+        ).build(_df(spark, [by_id[i] for i in sorted(live)]))
+        want = _results(SearchEngine(spark, fresh))
+        assert _results(SearchEngine(spark, d)) == want, f"step {step}"
+        assert _results(WandEngine(spark, d)) == want, f"step {step}"
+
+    for step in range(8):
+        ops = ["remove", "tiered", "full"] + (["add"] if unadded else [])
+        op = rng.choice(ops)
+        if op == "add" and unadded:
+            batch = unadded.pop(0)
+            maint.add_documents(_df(spark, batch))
+            live |= {r.doc_id for r in batch}
+        elif op == "remove" and live:
+            victims = rng.sample(sorted(live), k=min(3, len(live)))
+            maint.remove_documents(victims)
+            live -= set(victims)
+        elif op == "tiered":
+            n = len(table_dirs(d, "packed"))
+            if n >= 2:
+                k = rng.randrange(2, n + 1)
+                maint.compact(segments=rng.sample(range(n), k=k))
+        else:
+            maint.compact()
+        check(step)
