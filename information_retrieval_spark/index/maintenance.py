@@ -139,11 +139,36 @@ class IndexMaintenance:
         as in the reference's add_document). ``batch_id`` tags the commit
         for streaming exactly-once (streaming/ingest.py).
 
+        Re-adding a TOMBSTONED doc_id is refused loudly: the delete
+        vector filters by doc_id globally, so the new segment's rows
+        would be silently invisible — the one contract violation that
+        produces a wrong index instead of an obviously broken one. Use
+        ``update_documents`` (which purges the old rows first). The
+        check costs one broadcast semi-join of the delta against the
+        (small) delete vector; collisions with LIVE ids stay on the
+        caller (checking those would scan the index per add).
+
         Crash recovery: a frozen stage (``_STAGED`` marker present) from a
         previous crashed call is committed FIRST — its merged aggregates
         were computed against the pre-crash snapshot, so re-staging would
         double-apply. If the caller is retrying the SAME delta (matching
         fingerprint), that recovered commit already applied it."""
+        d = self.deleted()
+        if d is not None:
+            hit = (
+                delta.select("doc_id")
+                .join(F.broadcast(d.select("doc_id").distinct()),
+                      "doc_id", "semi")
+                .limit(5)
+                .collect()
+            )
+            if hit:
+                raise ValueError(
+                    f"delta re-adds tombstoned doc_ids {[r.doc_id for r in hit]}"
+                    " (the delete vector would silently hide the new rows);"
+                    " use update_documents(), or compact() first to purge"
+                    " the tombstones"
+                )
         stage = os.path.join(self.index_dir, "__stage_add")
         if self.is_staged(stage):
             info = self._stage_info(stage)
@@ -432,6 +457,67 @@ class IndexMaintenance:
 
     def deleted(self) -> DataFrame | None:
         return read_table(self.spark, self.index_dir, "deleted_docs")
+
+    # -------------------------------------------------------------- update
+
+    def update_documents(self, delta: DataFrame) -> int:
+        """Replace existing docs with new content under the SAME doc_ids
+        (the operation a re-crawl needs; plain remove+add is refused by
+        ``add_documents`` because the global delete vector would hide the
+        re-added rows). Three snapshot commits, each atomic:
+
+        1. tombstone the delta ids that are PRESENT in the index — the
+           old content disappears from queries immediately;
+        2. tiered-compact exactly the segments holding their old rows,
+           physically purging them (cost ∝ those segments' bytes: at
+           10^12 files, updating recently-added docs rewrites only
+           recent delta segments; updating an ancient base doc costs
+           that base segment's rewrite, the floor for any design whose
+           tombstones are global doc_id predicates);
+        3. ``add_documents(delta)`` as a new segment.
+
+        An engine pinned to any version sees a consistent index. A crash
+        between steps converges on retry: the tombstones already hide
+        the old rows, and the retry either re-finds them (re-purges) or
+        finds nothing and degrades to a plain add. Ids not present in
+        the index skip the tombstone cycle. Returns docs added."""
+        spark = self.spark
+        ids = F.broadcast(delta.select("doc_id").distinct())
+        dl_dirs = self.cat.table_dirs("doclen")
+        tagged = None
+        for i, dr in enumerate(dl_dirs):
+            part = (
+                spark.read.parquet(dr)
+                .select("doc_id")
+                .join(ids, "doc_id", "semi")
+                .select("doc_id", F.lit(i).alias("seg"))
+            )
+            tagged = part if tagged is None else tagged.unionByName(part)
+        # only the SEGMENT ids reach the driver (bounded by segment
+        # count); the present-doc set stays distributed — an update of
+        # 10^8 docs must not collect its id list
+        n_present = 0
+        if tagged is not None:
+            tagged = tagged.cache()
+            n_present = tagged.select("doc_id").distinct().count()
+        if n_present:
+            segs = sorted(
+                r.seg for r in tagged.select("seg").distinct().collect()
+            )
+            rel = self.cat.new_data_dir("deleted_docs")
+            tagged.select("doc_id").distinct().write.mode(
+                "overwrite"
+            ).parquet(self.cat.abspath(rel))
+            self.cat.commit(
+                {"deleted_docs": ("append", [rel])},
+                "remove",
+                {"n_remove": n_present, "for_update": True},
+            )
+            tagged.unpersist()
+            self.compact(segments=segs)
+        elif tagged is not None:
+            tagged.unpersist()
+        return self.add_documents(delta)
 
     # -------------------------------------------------------------- compact
 

@@ -10,6 +10,9 @@ Commands:
       [--compact-mode full|tiered]  what the trigger merges (tiered =
                                  delta segments only)
   remove --doc-ids 1,2,3         logical delete (delete-vector commit)
+  update --delta <parquet>       replace docs under the SAME doc_ids:
+                                 tombstone -> tiered-compact only the
+                                 segments holding the old rows -> re-add
   compact [--segments 1,2 | --to N]  drop deletes + merge segments; with
                                  --segments, a TIERED merge of only those
                                  segment indices (0 = base) — cost ∝
@@ -45,6 +48,10 @@ def main() -> None:
 
     p_rm = sub.add_parser("remove")
     p_rm.add_argument("--doc-ids", required=True, help="comma list of doc ids")
+
+    p_upd = sub.add_parser("update")
+    p_upd.add_argument("--delta", required=True,
+                       help="parquet path of replacement docs (same doc_ids)")
 
     p_cp = sub.add_parser("compact")
     p_cp.add_argument("--segments", default=None,
@@ -100,6 +107,9 @@ def main() -> None:
         ids = [int(x) for x in args.doc_ids.split(",") if x]
         maint.remove_documents(ids)
         out = {"removed": len(ids)}
+    elif args.command == "update":
+        n = maint.update_documents(spark.read.parquet(args.delta))
+        out = {"updated": n}
     elif args.command == "compact":
         if args.segments and args.to_segments is not None:
             raise SystemExit("--segments and --to are mutually exclusive")

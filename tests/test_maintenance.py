@@ -947,3 +947,104 @@ def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
         else:
             maint.compact()
         check(step)
+
+
+# ------------------------------------------------------------------ update
+
+
+def test_add_refuses_tombstoned_ids(spark, tmp_path_factory):
+    """Re-adding a removed doc_id must fail loudly: the global delete
+    vector would silently hide the new segment's rows otherwise."""
+    rows = corpus_rows(140)
+    d = str(tmp_path_factory.mktemp("reads"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.remove_documents([rows[5].doc_id])
+    with pytest.raises(ValueError, match="tombstoned"):
+        maint.add_documents(_df(spark, [rows[5]] + rows[120:130]))
+    # untainted delta still adds fine
+    assert maint.add_documents(_df(spark, rows[120:130])) == 10
+
+
+def test_update_documents_replaces_content(spark, tmp_path_factory):
+    """update_documents: same doc_ids, new content — queries see the new
+    content, the old rows are physically purged from exactly the
+    segments that held them, untouched segments keep their dirs, and the
+    result matches a fresh build over the updated corpus. Time travel
+    still answers the pre-update results."""
+    from information_retrieval_spark.index.catalog import (
+        read_stats_pdf,
+        table_dirs,
+    )
+
+    rows = corpus_rows(160)
+    d = str(tmp_path_factory.mktemp("upd"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:140]))
+    maint.add_documents(_df(spark, rows[140:160]))
+    pre = _results(SearchEngine(spark, d))
+    pre_version = IndexMaintenance(spark, d).cat.current_version()
+    base_dir = table_dirs(d, "packed")[0]
+    seg2_dir = table_dirs(d, "packed")[2]
+
+    # rewrite two docs that live in segment 1 (the first add)
+    from dataclasses import replace as dc_replace
+
+    upd = [
+        dc_replace(rows[125],
+                   content="tokenizer stream tokenizer stream rarequark"),
+        dc_replace(rows[130],
+                   content="completely different unrelated payload"),
+    ]
+    n = maint.update_documents(_df(spark, upd))
+    assert n == 2
+
+    updated_rows = [
+        ({r.doc_id: u for u in upd for r in [u]}.get(r.doc_id) or r)
+        if r.doc_id in {u.doc_id for u in upd} else r
+        for r in rows
+    ]
+    fresh = str(tmp_path_factory.mktemp("upd_fresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, updated_rows))
+    want = _results(SearchEngine(spark, fresh))
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+    dirs = table_dirs(d, "packed")
+    assert dirs[0] == base_dir       # base untouched (old rows weren't there)
+    assert seg2_dir in dirs          # segment 2 untouched
+    assert len(dirs) == 4            # base, purged seg1, seg2, new delta
+    assert table_dirs(d, "deleted_docs") == []  # tombstones fully applied
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == 160
+
+    # time travel: the pre-update snapshot still answers the old content
+    assert _results(SearchEngine(spark, d, version=pre_version)) == pre
+
+
+def test_update_documents_of_absent_ids_is_plain_add(spark, tmp_path_factory):
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(140)
+    d = str(tmp_path_factory.mktemp("updnew"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    v0 = maint.cat.current_version()
+    assert maint.update_documents(_df(spark, rows[120:140])) == 20
+    # no tombstone/compact commits happened — just the add
+    ops = [
+        maint.cat.load(v)["operation"]
+        for v in maint.cat.versions()
+        if v > v0
+    ]
+    assert ops == ["add"]
+    assert len(table_dirs(d, "packed")) == 2
