@@ -107,6 +107,21 @@ def main() -> None:
     h_full = index_content_hash(spark, full_idx)
     assert h_src == h_tier == h_full, (h_src, h_tier, h_full)
 
+    # update economics on the same layout: rewrite 10 docs that live in
+    # the LAST delta segment (the common re-crawl case) — cost must be
+    # ∝ that one segment, not the index (src is mutated, so this runs
+    # after the hash-identity check)
+    src_base_dir = table_dirs(src, "packed")[0]
+    upd_lo = N_BASE + (K_ADDS - 1) * N_DELTA
+    upd = corpus.filter(
+        (F.col("doc_id") >= upd_lo) & (F.col("doc_id") < upd_lo + 10)
+    ).withColumn("content", F.concat(F.col("content"), F.lit(" recrawled")))
+    t0 = time.time()
+    n_upd = IndexMaintenance(spark, src).update_documents(upd)
+    update_s = time.time() - t0
+    assert n_upd == 10
+    assert table_dirs(src, "packed")[0] == src_base_dir  # base untouched
+
     out = {
         "n_base": N_BASE,
         "n_delta": N_DELTA,
@@ -115,6 +130,7 @@ def main() -> None:
         "tiered_compact_s": round(tiered_s, 2),
         "full_compact_s": round(full_s, 2),
         "tiered_vs_full": round(tiered_s / full_s, 3),
+        "update_10docs_s": round(update_s, 2),
         "content_hash_identical": True,
     }
     print(json.dumps(out))
@@ -141,6 +157,9 @@ delta bytes are {delta_share:.1%} of the corpus; postings content hash identical
 across src/tiered/full. At a 10^12-file base the full rewrite is unpayable and
 the tiered path's cost stays ∝ accumulated deltas —
 `IndexMaintenance(auto_compact_mode="tiered")` applies it automatically.
+`update_documents` of 10 docs living in one {N_DELTA:,}-doc delta segment
+(tombstone → purge that segment tiered → re-add): **{out["update_10docs_s"]} s**,
+base untouched — replacement cost ∝ the holding segment, not the index.
 """)
     print("appended to BENCH/BASELINE.md")
     shutil.rmtree(work, ignore_errors=True)
