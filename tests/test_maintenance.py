@@ -1048,3 +1048,42 @@ def test_update_documents_of_absent_ids_is_plain_add(spark, tmp_path_factory):
     ]
     assert ops == ["add"]
     assert len(table_dirs(d, "packed")) == 2
+
+
+def test_expire_after_partial_compact_gcs_only_merged_dirs(
+    spark, tmp_path_factory
+):
+    """After a tiered compact, expire(keep_last=1) must GC exactly the
+    replaced segments' dirs and KEEP every spliced survivor (base, the
+    unmerged tail, the new merged segment) — the splice must keep the
+    GC's referenced-dir accounting exact."""
+    import os as _os
+
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(180)
+    d = str(tmp_path_factory.mktemp("gctier"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:140]))
+    maint.add_documents(_df(spark, rows[140:160]))
+    maint.add_documents(_df(spark, rows[160:180]))
+    pre_dirs = table_dirs(d, "packed")
+    merged_away = {pre_dirs[1], pre_dirs[2]}
+
+    maint.compact(segments=[1, 2])
+    want = _results(WandEngine(spark, d))
+    kept_dirs = set(table_dirs(d, "packed"))
+    assert merged_away.isdisjoint(kept_dirs)
+
+    dead = maint.expire_snapshots(keep_last=1)
+    dead_abs = {f"{d}/{rel}" for rel in dead}
+    assert merged_away <= dead_abs          # replaced segments GC'd
+    assert kept_dirs.isdisjoint(dead_abs)   # survivors kept
+    for p in merged_away:
+        assert not _os.path.exists(p)
+    for p in kept_dirs:
+        assert _os.path.exists(p)
+    assert _results(WandEngine(spark, d)) == want
