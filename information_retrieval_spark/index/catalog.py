@@ -307,6 +307,37 @@ class Catalog:
         return dead
 
 
+# ------------------------------------------------------------ segment seqs
+
+#: ``upto`` written for legacy delete-vector rows that predate seq-scoped
+#: tombstones (doc_id-only schema): hide the doc in EVERY segment, the old
+#: global semantics. Far above any catalog version a real index reaches.
+GLOBAL_UPTO = 1 << 62
+
+#: sidecar file carrying a data dir's segment sequence number. Underscore
+#: prefix keeps Spark's parquet reader from touching it (same convention as
+#: _SUCCESS). Dirs without one (legacy indexes, the builder's in-place
+#: tables) default to seq 0 — older than every committed tombstone, so a
+#: global delete still hides them.
+_SEQ_FILE = "_SEQ"
+
+
+def write_segment_seq(data_dir: str, seq: int) -> None:
+    """Stamp ``data_dir`` with its segment sequence (the catalog version
+    its commit will land as). Written while the dir is still private to
+    the writing operation — the dir stays immutable after publication."""
+    with open(os.path.join(data_dir, _SEQ_FILE), "w") as f:
+        f.write(str(int(seq)))
+
+
+def segment_seq(data_dir: str) -> int:
+    p = os.path.join(data_dir, _SEQ_FILE)
+    if not os.path.exists(p):
+        return 0
+    with open(p) as f:
+        return int(f.read().strip())
+
+
 # ---------------------------------------------------------------- resolvers
 
 #: every table the engines read; builder snapshots exactly these
@@ -351,20 +382,124 @@ def read_table(
     return spark.read.parquet(*dirs)
 
 
+def read_seq_table(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """Like `read_table`, plus a ``seg_seq`` column carrying each row's
+    segment sequence (the `_SEQ` sidecar of the data dir it came from;
+    0 for legacy dirs). Dirs are scanned separately and unioned — filters
+    still push into every per-dir scan — so seq-scoped tombstones
+    (`filter_deleted`) can hide a doc's OLD rows while its re-added rows
+    in newer segments stay visible."""
+    dirs = table_dirs(index_dir, table, version)
+    if not dirs:
+        return None
+    parts = [
+        spark.read.parquet(d).withColumn(
+            "seg_seq", F.lit(segment_seq(d)).cast("long")
+        )
+        for d in dirs
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def read_deletes(
+    spark: SparkSession,
+    index_dir: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """The delete vector as ``(doc_id, upto)``: the tombstone hides the
+    doc's rows in every segment with ``seg_seq <= upto`` (sequence-scoped,
+    Iceberg sequence-number semantics). Legacy doc_id-only rows read as
+    ``upto = GLOBAL_UPTO`` (hide everywhere — the old global semantics).
+    Duplicate tombstones for one doc collapse to the max upto (a tiny
+    aggregate over the vector — never corpus-sized)."""
+    dirs = table_dirs(index_dir, "deleted_docs", version)
+    if not dirs:
+        return None
+    # explicit schema: legacy dirs lack the upto column; the parquet
+    # reader fills it with null, which coalesces to the global sentinel
+    dd = spark.read.schema("doc_id long, upto long").parquet(*dirs)
+    return dd.groupBy("doc_id").agg(
+        F.max(F.coalesce("upto", F.lit(GLOBAL_UPTO))).alias("upto")
+    )
+
+
+def filter_deleted(df: DataFrame, deletes: DataFrame | None) -> DataFrame:
+    """Drop rows hidden by seq-scoped tombstones: a row is dead iff some
+    tombstone for its doc_id has ``upto >= seg_seq``. ``df`` must carry
+    the ``seg_seq`` column (`read_seq_table`); it is dropped on return.
+
+    Plan shape: ONE broadcast hash anti-join — doc_id is the equi key,
+    ``upto >= seg_seq`` rides as the join's extra condition, so this stays
+    a BroadcastHashJoin (no nested loop) at any corpus size; the delete
+    vector side is mutation-sized, never corpus-sized."""
+    if deletes is None:
+        return df.drop("seg_seq")
+    d = deletes.select(
+        F.col("doc_id").alias("__dd_doc"), F.col("upto").alias("__dd_upto")
+    )
+    return (
+        df.join(
+            F.broadcast(d),
+            (df["doc_id"] == d["__dd_doc"])
+            & (d["__dd_upto"] >= df["seg_seq"]),
+            "left_anti",
+        )
+        .drop("seg_seq")
+    )
+
+
+def read_live_table(
+    spark: SparkSession,
+    index_dir: str,
+    table: str,
+    version: int | None = None,
+) -> DataFrame | None:
+    """A doc-row table restricted to LIVE rows: seq-scoped tombstones
+    applied when a delete vector exists, otherwise the plain (cheaper)
+    multi-dir scan. An updated doc awaiting compaction has rows in both
+    its old and new segments — every per-doc consumer (doclen maps,
+    scoring joins) must read through this or it double-counts them."""
+    dd = read_deletes(spark, index_dir, version)
+    if dd is None:
+        return read_table(spark, index_dir, table, version)
+    t = read_seq_table(spark, index_dir, table, version)
+    return None if t is None else filter_deleted(t, dd)
+
+
+def read_live_postings(
+    spark: SparkSession, index_dir: str, version: int | None = None
+) -> DataFrame | None:
+    """postings_flat restricted to LIVE rows — the shared read for every
+    query path that consumes flat postings (exhaustive engine, boolean,
+    phrase/proximity, WAND's filter-term presence scan)."""
+    return read_live_table(spark, index_dir, "postings_flat", version)
+
+
 def read_packed(
     spark: SparkSession, index_dir: str, version: int | None = None
 ) -> DataFrame | None:
     """The packed block-max table with its LSM ``segment`` column: directory
     list order IS segment order (0 = the oldest/base segment). Each segment
     keeps its own sorted, non-overlapping block runs; WAND merges segment
-    cursors per (term, section) at query time (query/wand.py)."""
+    cursors per (term, section) at query time (query/wand.py). ``seg_seq``
+    carries each segment's sequence number for seq-scoped tombstones (note
+    position order ≠ seq order after a tiered compact's splice — the merged
+    segment is newer than unmerged tail segments)."""
     dirs = table_dirs(index_dir, "packed", version)
     if not dirs:
         return None
     parts = [
-        spark.read.parquet(d).withColumn(
-            "segment", F.lit(i).cast("int")
-        )
+        spark.read.parquet(d)
+        .withColumn("segment", F.lit(i).cast("int"))
+        .withColumn("seg_seq", F.lit(segment_seq(d)).cast("long"))
         for i, d in enumerate(dirs)
     ]
     out = parts[0]
@@ -415,6 +550,7 @@ def read_doc_meta(
     spark: SparkSession,
     index_dir: str,
     version: int | None = None,
+    with_seq: bool = False,
 ) -> DataFrame | None:
     """doc_meta (doc_id, category), category-HIVE-PARTITIONED on disk so
     a category-restricted search prunes whole partition directories
@@ -430,12 +566,18 @@ def read_doc_meta(
     # read a numeric-looking category ("007", "2024") back as int —
     # losing the leading zero and breaking both the per-dir union and the
     # engines' string comparisons; a user schema pins it to string
-    parts = [
-        spark.read.schema("doc_id long, category string")
-        .parquet(d)
-        .select("doc_id", "category")
-        for d in dirs
-    ]
+    parts = []
+    for d in dirs:
+        p = (
+            spark.read.schema("doc_id long, category string")
+            .parquet(d)
+            .select("doc_id", "category")
+        )
+        if with_seq:
+            p = p.withColumn(
+                "seg_seq", F.lit(segment_seq(d)).cast("long")
+            )
+        parts.append(p)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -16,10 +16,20 @@ on top of the Iceberg-style snapshot catalog (index/catalog.py):
   segment cursors at query time (query/wand.py `_SegmentedList`).
 * **remove_documents(doc_ids)** — logical delete: commit a delta dir to
   the ``deleted_docs`` table (delete-vector pattern; Iceberg's
-  equality-delete equivalent), consulted at query time.
-* **compact()** — the ONE physical rewrite: drops deleted docs, merges all
-  LSM segments back into a single packed segment, refreshes aggregates,
-  clears the delete vector — all visible atomically via one snapshot.
+  equality-delete equivalent), consulted at query time. Tombstones are
+  SEQUENCE-SCOPED (Iceberg sequence-number semantics): each row is
+  ``(doc_id, upto)`` and hides the doc only in segments whose ``_SEQ``
+  (catalog.py sidecar; the commit version the segment landed as) is
+  ``<= upto``. A later add may therefore re-use the doc_id — its new
+  segment's seq exceeds every existing tombstone, so the new rows are
+  live immediately. That makes **update_documents = tombstone + add**,
+  cost ∝ delta even for docs whose old rows live in the base segment of
+  a 10^12-file index; the physical purge rides the next normal
+  compaction instead of a synchronous base rewrite.
+* **compact()** — the ONE physical rewrite: drops tombstone-hidden rows
+  (seq-scoped, per segment), merges all LSM segments back into a single
+  packed segment, refreshes aggregates, clears the delete vector — all
+  visible atomically via one snapshot.
 
 Crash safety comes from the catalog, not from journals: every step of a
 mutation only creates new files; visibility is a single atomic CURRENT
@@ -135,40 +145,22 @@ class IndexMaintenance:
 
     def add_documents(self, delta: DataFrame, batch_id: int | None = None) -> int:
         """Append a delta corpus as a new LSM segment; one atomic snapshot.
-        New doc_ids must not collide with existing ones (caller contract,
-        as in the reference's add_document). ``batch_id`` tags the commit
-        for streaming exactly-once (streaming/ingest.py).
+        New doc_ids must not collide with LIVE ones (caller contract, as
+        in the reference's add_document — checking would scan the index
+        per add). ``batch_id`` tags the commit for streaming exactly-once
+        (streaming/ingest.py).
 
-        Re-adding a TOMBSTONED doc_id is refused loudly: the delete
-        vector filters by doc_id globally, so the new segment's rows
-        would be silently invisible — the one contract violation that
-        produces a wrong index instead of an obviously broken one. Use
-        ``update_documents`` (which purges the old rows first). The
-        check costs one broadcast semi-join of the delta against the
-        (small) delete vector; collisions with LIVE ids stay on the
-        caller (checking those would scan the index per add).
+        Re-adding a TOMBSTONED doc_id is fine: tombstones are
+        sequence-scoped (``(doc_id, upto)``, catalog.read_deletes), and
+        the new segment's seq exceeds every committed tombstone, so the
+        re-added rows are live immediately — remove-then-add resurrects,
+        and ``update_documents`` is exactly tombstone + this.
 
         Crash recovery: a frozen stage (``_STAGED`` marker present) from a
         previous crashed call is committed FIRST — its merged aggregates
         were computed against the pre-crash snapshot, so re-staging would
         double-apply. If the caller is retrying the SAME delta (matching
         fingerprint), that recovered commit already applied it."""
-        d = self.deleted()
-        if d is not None:
-            hit = (
-                delta.select("doc_id")
-                .join(F.broadcast(d.select("doc_id").distinct()),
-                      "doc_id", "semi")
-                .limit(5)
-                .collect()
-            )
-            if hit:
-                raise ValueError(
-                    f"delta re-adds tombstoned doc_ids {[r.doc_id for r in hit]}"
-                    " (the delete vector would silently hide the new rows);"
-                    " use update_documents(), or compact() first to purge"
-                    " the tombstones"
-                )
         stage = os.path.join(self.index_dir, "__stage_add")
         if self.is_staged(stage):
             info = self._stage_info(stage)
@@ -208,7 +200,17 @@ class IndexMaintenance:
         if n <= self.auto_compact_segments:
             return
         if self.auto_compact_mode == "tiered":
-            self.compact(segments=list(range(1, n)))
+            # size-tiered plan over the DELTA segments only (base pinned):
+            # each trigger merges the CHEAPEST subset that restores the
+            # bound — not all deltas, whose accumulated bytes would make
+            # every trigger cost grow with total delta history. With the
+            # base excluded the reachable floor is 2 segments; a plan of
+            # fewer than 2 candidates is a no-op (nothing to merge).
+            segs = self.plan_compaction(
+                self.auto_compact_segments, exclude_base=True
+            )
+            if segs is not None and len(segs) >= 2:
+                self.compact(segments=segs)
         else:
             self.compact()
 
@@ -356,10 +358,27 @@ class IndexMaintenance:
             }
         ).write.mode("overwrite").parquet(p("lineage_delta"))
 
+        # stamp the doc-row tables with the segment sequence this commit
+        # will land as (cat_version + 1; single-writer, and commit_add
+        # refuses stale stages after intervening compacts/rebuilds, so
+        # seqs stay monotone with commit order even across crash-retries).
+        # Tombstones compare against this: rows in this segment are hidden
+        # only by tombstones committed AFTER it.
+        from information_retrieval_spark.index.catalog import (
+            write_segment_seq,
+        )
+
+        seq = (self.cat.current_version() or 0) + 1
+        for sub in ("postings_delta", "doclen_delta", "doc_meta_delta",
+                    "packed_delta"):
+            if os.path.isdir(p(sub)):
+                write_segment_seq(p(sub), seq)
+
         with open(os.path.join(stage_dir, "_STAGED"), "w") as f:
             json.dump(
                 {
                     "n_add": int(n_add),
+                    "seq": seq,
                     "fp": self._delta_fp(delta),
                     "token": uuid.uuid4().hex[:12],
                     # which tables this stage produced: commit refuses to
@@ -414,13 +433,33 @@ class IndexMaintenance:
                     " discard the stage and re-run the add"
                 )
         produced = set(info.get("tables", []))
+        # re-stamp the doc-row dirs with the version THIS commit lands as:
+        # the stage-time estimate can lag if another stage committed in
+        # between (e.g. a frozen stream batch recovered after a manual
+        # add) — seqs must equal commit versions so tombstone `upto`
+        # comparisons order segments exactly as the snapshot chain does.
+        # Safe pre-swap: no snapshot references these dirs yet.
+        from information_retrieval_spark.index.catalog import (
+            write_segment_seq,
+        )
+
+        commit_seq = (self.cat.current_version() or 0) + 1
         changes: dict = {}
         for sub, table, op in _STAGE_TABLES:
             src = os.path.join(stage_dir, sub)
             rel = self.cat.new_data_dir(table, token)
             dst = self.cat.abspath(rel)
+            seq_stamped = sub in (
+                "postings_delta", "doclen_delta", "doc_meta_delta",
+                "packed_delta",
+            )
             if os.path.isdir(src):
+                if seq_stamped:
+                    write_segment_seq(src, commit_seq)
                 os.replace(src, dst)
+            elif os.path.isdir(dst):
+                if seq_stamped:
+                    write_segment_seq(dst, commit_seq)
             elif not os.path.isdir(dst):
                 if sub in produced:
                     raise RuntimeError(
@@ -444,85 +483,79 @@ class IndexMaintenance:
     def remove_documents(self, doc_ids: list[int]) -> None:
         """Logical delete: commit a delta dir to the ``deleted_docs``
         delete-vector table (one snapshot; crash before the commit leaves
-        only an orphaned dir)."""
-        rel = self.cat.new_data_dir("deleted_docs")
-        self.spark.createDataFrame(
-            [(int(d),) for d in doc_ids], "doc_id long"
-        ).write.mode("overwrite").parquet(self.cat.abspath(rel))
-        self.cat.commit(
-            {"deleted_docs": ("append", [rel])},
-            "remove",
-            {"n_remove": len(doc_ids)},
+        only an orphaned dir). Tombstones carry ``upto`` = the CURRENT
+        catalog version: every segment visible right now has
+        ``_SEQ <= current`` and is hidden; a segment added later has a
+        higher seq and is not — re-adding the doc_id resurrects it."""
+        self._tombstone(
+            self.spark.createDataFrame(
+                [(int(d),) for d in doc_ids], "doc_id long"
+            ),
+            n_remove=len(doc_ids),
         )
 
+    def _tombstone(self, ids: DataFrame, n_remove: int | None = None,
+                   for_update: bool = False) -> None:
+        """Commit seq-scoped tombstones for ``ids`` (a doc_id frame that
+        never passes through the driver — an update of 10^8 docs writes
+        its id column distributed)."""
+        upto = self.cat.current_version() or 0
+        rel = self.cat.new_data_dir("deleted_docs")
+        ids.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.lit(int(upto)).cast("long").alias("upto"),
+        ).write.mode("overwrite").parquet(self.cat.abspath(rel))
+        summary: dict = {"upto": int(upto)}
+        if n_remove is not None:
+            summary["n_remove"] = int(n_remove)
+        if for_update:
+            summary["for_update"] = True
+        self.cat.commit({"deleted_docs": ("append", [rel])}, "remove", summary)
+
     def deleted(self) -> DataFrame | None:
-        return read_table(self.spark, self.index_dir, "deleted_docs")
+        """The normalized ``(doc_id, upto)`` delete vector (None if empty).
+        A row hides the doc in segments with ``_SEQ <= upto`` only."""
+        from information_retrieval_spark.index.catalog import read_deletes
+
+        return read_deletes(self.spark, self.index_dir)
 
     # -------------------------------------------------------------- update
 
     def update_documents(self, delta: DataFrame) -> int:
-        """Replace existing docs with new content under the SAME doc_ids
-        (the operation a re-crawl needs; plain remove+add is refused by
-        ``add_documents`` because the global delete vector would hide the
-        re-added rows). Three snapshot commits, each atomic:
+        """Replace docs with new content under the SAME doc_ids (the
+        operation a re-crawl needs). Two snapshot commits, each atomic:
 
-        1. tombstone the delta ids that are PRESENT in the index — the
-           old content disappears from queries immediately;
-        2. tiered-compact exactly the segments holding their old rows,
-           physically purging them (cost ∝ those segments' bytes: at
-           10^12 files, updating recently-added docs rewrites only
-           recent delta segments; updating an ancient base doc costs
-           that base segment's rewrite, the floor for any design whose
-           tombstones are global doc_id predicates);
-        3. ``add_documents(delta)`` as a new segment.
+        1. seq-scoped tombstones for every delta id (``upto`` = current
+           version) — the old rows, wherever they live (recent delta OR
+           the base segment of a 10^12-file index), disappear from
+           queries immediately;
+        2. ``add_documents(delta)`` — the new segment's seq exceeds the
+           tombstones' upto, so the new content is live.
 
-        An engine pinned to any version sees a consistent index. A crash
-        between steps converges on retry: the tombstones already hide
-        the old rows, and the retry either re-finds them (re-purges) or
-        finds nothing and degrades to a plain add. Ids not present in
-        the index skip the tombstone cycle. Returns docs added."""
-        spark = self.spark
-        ids = F.broadcast(delta.select("doc_id").distinct())
-        dl_dirs = self.cat.table_dirs("doclen")
-        tagged = None
-        for i, dr in enumerate(dl_dirs):
-            part = (
-                spark.read.parquet(dr)
-                .select("doc_id")
-                .join(ids, "doc_id", "semi")
-                .select("doc_id", F.lit(i).alias("seg"))
-            )
-            tagged = part if tagged is None else tagged.unionByName(part)
-        # only the SEGMENT ids reach the driver (bounded by segment
-        # count); the present-doc set stays distributed — an update of
-        # 10^8 docs must not collect its id list
-        n_present = 0
-        if tagged is not None:
-            tagged = tagged.cache()
-            n_present = tagged.select("doc_id").distinct().count()
-        if n_present:
-            segs = sorted(
-                r.seg for r in tagged.select("seg").distinct().collect()
-            )
-            rel = self.cat.new_data_dir("deleted_docs")
-            tagged.select("doc_id").distinct().write.mode(
-                "overwrite"
-            ).parquet(self.cat.abspath(rel))
-            self.cat.commit(
-                {"deleted_docs": ("append", [rel])},
-                "remove",
-                {"n_remove": n_present, "for_update": True},
-            )
-            tagged.unpersist()
-            self.compact(segments=segs)
-        elif tagged is not None:
-            tagged.unpersist()
+        Cost ∝ delta in BOTH steps: no segment is rewritten here, not
+        even for base-resident docs (the round-4 design paid a
+        synchronous tiered compact of whichever segments held the old
+        rows — a base-segment rewrite floor this removes). The physical
+        purge of the hidden rows rides the next normal ``compact()``.
+        Ids not currently present in the index get tombstones that hide
+        nothing; the next compact drops them (they match no remaining
+        rows). A crash between the two commits leaves the tombstones
+        live — the docs read as deleted until the retry's add lands,
+        and the retry converges (tombstoning twice is idempotent in
+        effect: read_deletes keeps the max upto per doc). Returns docs
+        added."""
+        self._tombstone(
+            delta.select("doc_id").distinct(), for_update=True
+        )
         return self.add_documents(delta)
 
     # -------------------------------------------------------------- compact
 
-    def compact(self, segments: list[int] | None = None) -> None:
-        """Physically drop deleted docs AND merge LSM segments.
+    def compact(self, segments: list[int] | None = None) -> int | None:
+        """Physically drop deleted docs AND merge LSM segments. Returns
+        the committed snapshot version, or None when there was nothing to
+        do (no deletes, nothing to merge — callers like the CLI report
+        the no-op honestly instead of claiming a compaction happened).
 
         ``segments=None`` (default): merge ALL segments into
         one: rewrite postings/doclen/doc_meta/packed, re-derive
@@ -562,28 +595,22 @@ class IndexMaintenance:
             )
         if segments is not None:
             return self._compact_segments(segments)
+        from information_retrieval_spark.index.catalog import (
+            filter_deleted,
+            read_doc_meta,
+            read_seq_table,
+            write_segment_seq,
+        )
+
         d = self.deleted()
         n_segments = len(self.cat.table_dirs("packed"))
         if d is None and n_segments <= 1:
-            return  # nothing to drop, nothing to merge
+            return None  # nothing to drop, nothing to merge
         token = uuid.uuid4().hex[:12]
-        dd = F.broadcast(
-            (
-                d.select("doc_id").distinct()
-                if d is not None
-                else spark.createDataFrame([], "doc_id long")
-            )
-        )
-
-        n_del = (
-            read_table(spark, self.index_dir, "doclen")
-            .select("doc_id")
-            .distinct()
-            .join(dd, "doc_id", "semi")
-            .count()
-        )
-        st = read_stats_pdf(self.index_dir).copy()
-        st["n_docs"] = int(st["n_docs"].iloc[0]) - n_del
+        # the merged output is a NEW segment: its seq is the version this
+        # compact will commit as, so every pre-existing tombstone (upto <
+        # seq) is already applied and never re-hides the survivors
+        new_seq = (self.cat.current_version() or 0) + 1
 
         changes: dict = {}
 
@@ -593,24 +620,39 @@ class IndexMaintenance:
             return self.cat.abspath(rel)
 
         for table in ("postings_flat", "doclen"):
-            t = read_table(spark, self.index_dir, table)
-            t.join(dd, "doc_id", "left_anti").write.mode("overwrite").parquet(
+            t = read_seq_table(spark, self.index_dir, table)
+            filter_deleted(t, d).write.mode("overwrite").parquet(
                 fresh(table)
             )
+            write_segment_seq(self.cat.abspath(changes[table][1][0]), new_seq)
         if self.cat.table_dirs("doc_meta"):
-            from information_retrieval_spark.index.catalog import read_doc_meta
-
-            read_doc_meta(spark, self.index_dir).join(
-                dd, "doc_id", "left_anti"
+            filter_deleted(
+                read_doc_meta(spark, self.index_dir, with_seq=True), d
             ).sortWithinPartitions("doc_id").write.mode(
                 "overwrite"
             ).partitionBy("category").parquet(fresh("doc_meta"))
+            write_segment_seq(
+                self.cat.abspath(changes["doc_meta"][1][0]), new_seq
+            )
         new_postings = spark.read.parquet(
             self.cat.abspath(changes["postings_flat"][1][0])
         )
         new_doclen = spark.read.parquet(
             self.cat.abspath(changes["doclen"][1][0])
         )
+        # n_docs is RECOMPUTED from the compacted doclen (distinct live
+        # docs) rather than decremented: under seq-scoped tombstones the
+        # ledger may transiently over-count re-added/updated docs between
+        # compactions (update = tombstone + add increments by the delta
+        # while the hidden old version still awaits purge); the full
+        # compact is the point where the exact count is one cheap
+        # aggregate over data it rewrites anyway. Same all-stop-word-doc
+        # blind spot as the ledger (such docs have no doclen rows).
+        st = read_stats_pdf(self.index_dir).copy()
+        n_del = int(st["n_docs"].iloc[0]) - int(
+            new_doclen.select("doc_id").distinct().count()
+        )
+        st["n_docs"] = int(st["n_docs"].iloc[0]) - n_del
 
         new_postings.groupBy("term").agg(
             F.countDistinct("doc_id").alias("df")
@@ -634,6 +676,7 @@ class IndexMaintenance:
 
         packed_dir = fresh("packed")
         pack_postings(new_postings, new_doclen, packed_dir)
+        write_segment_seq(packed_dir, new_seq)
 
         lineage_frame(
             {
@@ -644,7 +687,7 @@ class IndexMaintenance:
         ).write.mode("overwrite").parquet(fresh("lineage"))
 
         changes["deleted_docs"] = ("drop", None)
-        self.cat.commit(
+        return self.cat.commit(
             changes,
             "compact",
             {"stage_token": token, "n_removed": n_del,
@@ -672,7 +715,9 @@ class IndexMaintenance:
             sizes.append(total)
         return sizes
 
-    def plan_compaction(self, max_segments: int) -> list[int] | None:
+    def plan_compaction(
+        self, max_segments: int, exclude_base: bool = False
+    ) -> list[int] | None:
         """Size-tiered merge plan: the CHEAPEST segment subset whose merge
         brings the count down to ``max_segments``. Merging k segments
         reduces the count by k-1 and costs ∝ their bytes, so the optimal
@@ -680,17 +725,24 @@ class IndexMaintenance:
         usually the recent deltas, but a shrunken base qualifies too
         (RocksDB-style size tiering, not age tiering). Returns None when
         the count is already within bound; feed the result to
-        ``compact(segments=...)``."""
+        ``compact(segments=...)``.
+
+        ``exclude_base=True`` pins segment 0 out of the plan (the tiered
+        auto-compact contract: the base is never rewritten) — the
+        reachable floor is then 2 segments, and a plan needing more
+        candidates than exist is clamped to all the deltas."""
         if max_segments < 1:
             raise ValueError("max_segments must be >= 1")
         sizes = self.segment_sizes()
         k = len(sizes) - max_segments + 1
+        candidates = list(range(1 if exclude_base else 0, len(sizes)))
+        k = min(k, len(candidates))
         if k < 2:
             return None
-        by_size = sorted(range(len(sizes)), key=lambda i: (sizes[i], i))
+        by_size = sorted(candidates, key=lambda i: (sizes[i], i))
         return sorted(by_size[:k])
 
-    def _compact_segments(self, segments: list[int]) -> None:
+    def _compact_segments(self, segments: list[int]) -> int | None:
         """Merge ONLY ``segments`` (packed-dir-list indices) into one new
         segment; every other segment's files are untouched — the catalog
         commit just splices the new dir in at the merged run's first
@@ -698,15 +750,28 @@ class IndexMaintenance:
         merged segments' bytes, so a size-tiered maintenance policy can
         keep query fan-in low (BENCH fan-in table) without ever paying a
         base-segment rewrite. RocksDB/Lucene tiered-merge economics on
-        the snapshot catalog.
+        the snapshot catalog. Returns the committed version (None: no-op).
 
-        Deletes: tombstones hitting merged segments' docs are applied
-        physically and REMOVED from the delete vector (so a later full
-        compact's n_docs decrement never double-counts them); tombstones
-        against unmerged segments stay in the vector and keep filtering
-        at query time. Same all-stop-word blind spot as full compact.
-        Crash safety: identical to full compact — fresh dirs only, one
-        atomic snapshot commit at the end."""
+        Deletes (seq-scoped): a tombstone ``(doc_id, upto)`` is applied
+        physically to merged rows whose segment ``_SEQ <= upto``; rows of
+        the SAME doc_id in a merged segment newer than the tombstone (a
+        re-add/update) survive the merge untouched. A tombstone leaves
+        the vector only when NO unmerged segment still holds rows it
+        hides (checked seq-aware against the unmerged doclen dirs); the
+        rest stay logical and keep filtering at query time. The merged
+        output's _SEQ is this commit's version — newer than every
+        pre-existing tombstone, so survivors can't be re-hidden. n_docs
+        drops by the count of distinct hidden (doc, segment) versions
+        purged, keeping the ledger invariant (live docs + hidden
+        versions awaiting purge). Same all-stop-word blind spot as full
+        compact. Crash safety: identical — fresh dirs only, one atomic
+        snapshot commit at the end."""
+        from information_retrieval_spark.index.catalog import (
+            filter_deleted,
+            segment_seq,
+            write_segment_seq,
+        )
+
         spark = self.spark
         segs = sorted(set(int(s) for s in segments))
         if not segs:
@@ -730,11 +795,27 @@ class IndexMaintenance:
             )
         d = self.deleted()
         if len(segs) == 1 and d is None:
-            return  # nothing to merge, nothing to drop
+            return None  # nothing to merge, nothing to drop
         token = uuid.uuid4().hex[:12]
+        # one seq per segment INDEX, read off the packed sidecars (every
+        # table's dir at index i belongs to the same segment/commit)
+        seq_of = [segment_seq(p) for p in dirs["packed"]]
+        new_seq = (self.cat.current_version() or 0) + 1
 
-        def union_dirs(table: str) -> DataFrame:
-            parts = [spark.read.parquet(dirs[table][i]) for i in segs]
+        def union_dirs(
+            table: str, which: list[int] | None = None, with_seq: bool = False
+        ) -> DataFrame | None:
+            idxs = segs if which is None else which
+            if not idxs:
+                return None
+            parts = []
+            for i in idxs:
+                pt = spark.read.parquet(dirs[table][i])
+                if with_seq:
+                    pt = pt.withColumn(
+                        "seg_seq", F.lit(seq_of[i]).cast("long")
+                    )
+                parts.append(pt)
             out = parts[0]
             for pt in parts[1:]:
                 out = out.unionByName(pt)
@@ -748,32 +829,44 @@ class IndexMaintenance:
             new_rel[table] = rel
             return self.cat.abspath(rel)
 
-        dd_all = (
-            d.select("doc_id").distinct()
-            if d is not None
-            else spark.createDataFrame([], "doc_id long")
-        )
-        merged_docs = union_dirs("doclen").select("doc_id").distinct()
-        # tombstones split by whether their doc lives in a merged segment:
-        # those are applied physically below; the rest stay logical
-        n_del_sub = dd_all.join(merged_docs, "doc_id", "semi").count()
-        dd = F.broadcast(dd_all)
+        # hidden (doc, segment) versions being purged — the ledger delta
+        merged_dl = union_dirs("doclen", with_seq=True)
+        if d is not None:
+            dd_r = d.select(
+                F.col("doc_id").alias("__dd_doc"),
+                F.col("upto").alias("__dd_upto"),
+            )
+            n_del_sub = (
+                merged_dl.join(
+                    F.broadcast(dd_r),
+                    (merged_dl["doc_id"] == dd_r["__dd_doc"])
+                    & (dd_r["__dd_upto"] >= merged_dl["seg_seq"]),
+                    "semi",
+                )
+                .select("doc_id", "seg_seq")
+                .distinct()
+                .count()
+            )
+        else:
+            n_del_sub = 0
 
         for table in ("postings_flat", "doclen"):
-            union_dirs(table).join(dd, "doc_id", "left_anti").write.mode(
-                "overwrite"
-            ).parquet(fresh(table))
+            filter_deleted(
+                union_dirs(table, with_seq=True), d
+            ).write.mode("overwrite").parquet(fresh(table))
+            write_segment_seq(self.cat.abspath(new_rel[table]), new_seq)
         new_postings = spark.read.parquet(
             self.cat.abspath(new_rel["postings_flat"])
         )
         new_doclen = spark.read.parquet(self.cat.abspath(new_rel["doclen"]))
 
         if has_meta:
-            union_dirs("doc_meta").join(
-                dd, "doc_id", "left_anti"
+            filter_deleted(
+                union_dirs("doc_meta", with_seq=True), d
             ).sortWithinPartitions("doc_id").write.mode(
                 "overwrite"
             ).partitionBy("category").parquet(fresh("doc_meta"))
+            write_segment_seq(self.cat.abspath(new_rel["doc_meta"]), new_seq)
 
         # merge-on-read aggregates: the merged segments' delta dirs are
         # replaced by ONE re-derived dir, so the cross-dir sum (term_df)
@@ -789,6 +882,7 @@ class IndexMaintenance:
 
         packed_dir = fresh("packed")
         pack_postings(new_postings, new_doclen, packed_dir)
+        write_segment_seq(packed_dir, new_seq)
 
         lineage_frame(
             {
@@ -798,6 +892,9 @@ class IndexMaintenance:
             }
         ).write.mode("overwrite").parquet(fresh("lineage"))
 
+        # ledger decrement = hidden doc VERSIONS purged (n_del_sub above),
+        # keeping n_docs = live docs + hidden versions awaiting purge —
+        # exact through update/re-add sequences (full compact recomputes)
         st = read_stats_pdf(self.index_dir).copy()
         st["n_docs"] = int(st["n_docs"].iloc[0]) - n_del_sub
         stats_dir = fresh("stats")
@@ -823,16 +920,42 @@ class IndexMaintenance:
             changes[table] = ("set", spliced)
 
         if d is not None:
-            remaining = dd_all.join(merged_docs, "doc_id", "left_anti")
-            if remaining.limit(1).count():
-                remaining.write.mode("overwrite").parquet(
-                    fresh("deleted_docs")
-                )
-                changes["deleted_docs"] = ("set", [new_rel["deleted_docs"]])
-            else:
+            # a tombstone survives iff some UNMERGED segment still holds
+            # rows it hides (seq-aware: an unmerged segment NEWER than the
+            # tombstone holding the doc's re-added rows does NOT keep it
+            # alive). The scan is the unmerged doclen's doc_id column with
+            # the mutation-sized vector broadcast — no shuffle.
+            unmerged = [i for i in range(n_seg) if i not in set(segs)]
+            un_dl = union_dirs("doclen", which=unmerged, with_seq=True)
+            if un_dl is None:
                 changes["deleted_docs"] = ("drop", None)
+            else:
+                dd_r2 = d.select(
+                    F.col("doc_id").alias("__dd_doc"),
+                    F.col("upto").alias("__dd_upto"),
+                )
+                kept_ids = (
+                    un_dl.join(
+                        F.broadcast(dd_r2),
+                        (un_dl["doc_id"] == dd_r2["__dd_doc"])
+                        & (dd_r2["__dd_upto"] >= un_dl["seg_seq"]),
+                        "semi",
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
+                remaining = d.join(kept_ids, "doc_id", "semi")
+                if remaining.limit(1).count():
+                    remaining.write.mode("overwrite").parquet(
+                        fresh("deleted_docs")
+                    )
+                    changes["deleted_docs"] = (
+                        "set", [new_rel["deleted_docs"]]
+                    )
+                else:
+                    changes["deleted_docs"] = ("drop", None)
 
-        self.cat.commit(
+        return self.cat.commit(
             changes,
             "compact",
             {

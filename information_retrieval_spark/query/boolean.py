@@ -34,7 +34,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from information_retrieval_spark.index.catalog import read_table
+from information_retrieval_spark.index.catalog import read_live_postings
 
 _SPLIT = re.compile(r"[^a-z0-9]+")
 
@@ -82,16 +82,12 @@ def boolean_search(
     spec = spark.createDataFrame(
         rows, "query_id int, qterm string, role string, n_must int"
     )
-    p = read_table(spark, index_dir, "postings_flat", version)
+    # live postings: seq-scoped tombstones pre-applied (catalog helper)
+    p = read_live_postings(spark, index_dir, version)
     if p is None:
         raise ValueError(f"no postings_flat table in index {index_dir!r}")
     terms = sorted({r[1] for r in rows})
     p = p.select("term", "doc_id").filter(F.col("term").isin(terms))
-    dd = read_table(spark, index_dir, "deleted_docs", version)
-    if dd is not None:
-        p = p.join(
-            F.broadcast(dd.select("doc_id").distinct()), "doc_id", "left_anti"
-        )
     dt = p.distinct()  # collapse sections + LSM segments
     m = dt.join(F.broadcast(spec), dt.term == spec.qterm)
     agg = m.groupBy("query_id", "doc_id", "n_must").agg(

@@ -87,6 +87,8 @@ class SearchEngine:
         the engine answers every query against the index exactly as it was
         at that commit (index/catalog.py); None = current."""
         from information_retrieval_spark.index.catalog import (
+            read_deletes,
+            read_live_postings,
             read_stats_pdf,
             read_table,
             read_term_df,
@@ -96,8 +98,19 @@ class SearchEngine:
         self.index_dir = index_dir
         self.version = version
         self.distributed_spell = distributed_spell
-        self.postings = read_table(spark, index_dir, "postings_flat", version)
-        self.doclen = read_table(spark, index_dir, "doclen", version)
+        # delete-vector (index/maintenance.py): seq-scoped tombstones
+        # (doc_id, upto) hide a doc's rows only in segments old enough
+        # (seg _SEQ <= upto) — an updated/re-added doc's new rows stay
+        # visible. With deletes present, postings are read per segment
+        # dir (seq-tagged) and the anti-join is baked into the frame
+        # BEFORE any candidate stats; term filters still push through
+        # the join into each parquet scan. Without deletes the plan is
+        # the plain multi-dir scan, unchanged.
+        self.deleted_df = read_deletes(spark, index_dir, version)
+        self.postings = read_live_postings(spark, index_dir, version)
+        from information_retrieval_spark.index.catalog import read_live_table
+
+        self.doclen = read_live_table(spark, index_dir, "doclen", version)
         self.term_df = read_term_df(spark, index_dir, version)
         stats = read_stats_pdf(index_dir, version)
         self.n_docs = int(stats["n_docs"].iloc[0])
@@ -115,11 +128,6 @@ class SearchEngine:
         # what the reference does (its whole index lives in driver RAM).
         self._bigram_dict: dict | None = None
         self._vocab_over_cap = False
-        # delete-vector (index/maintenance.py): docs logically removed
-        dd = read_table(spark, index_dir, "deleted_docs", version)
-        self.deleted_df = (
-            dd.select("doc_id").distinct() if dd is not None else None
-        )
         # doc_meta (doc_id, category) for QuerySpec.filter_category
         # (category-partitioned: catalog.read_doc_meta)
         from information_retrieval_spark.index.catalog import read_doc_meta
@@ -218,10 +226,9 @@ class SearchEngine:
                     c = (F.col("term") >= t) & (F.col("term") < t + MAX_CHAR)
                     cond = c if cond is None else (cond | c)
                 p = p.filter(cond)
-        if self.deleted_df is not None:
-            # anti-join the delete vector BEFORE stats: the per-query
-            # candidate N/avgdl quirks then recompute over live docs only
-            p = p.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
+        # the seq-scoped delete anti-join is baked into self.postings
+        # (engine __init__), so candidate N/avgdl quirks already
+        # recompute over live docs only
         if match_mode == "exact":
             m = p.join(F.broadcast(qterms), p.term == qterms.qterm)
         else:
@@ -341,8 +348,7 @@ class SearchEngine:
         fp = self.postings.select("term", "doc_id").filter(
             F.col("term").isin(fterms)
         )
-        if self.deleted_df is not None:
-            fp = fp.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
+        # (self.postings is already live-filtered under deletes)
         # no fp-wide distinct: presence repeats only across sections, and
         # both consumers dedup inherently (the exclude branch distincts its
         # own projection; the must branch counts DISTINCT mterm) — a

@@ -44,7 +44,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from information_retrieval_spark.index.catalog import read_table
+from information_retrieval_spark.index.catalog import read_live_postings
 
 _SPLIT = re.compile(r"[^a-z0-9]+")
 
@@ -99,18 +99,14 @@ def phrase_search(
     qt = spark.createDataFrame(
         rows, "query_id int, idx int, qterm string, n int"
     )
-    p = read_table(spark, index_dir, "postings_flat", version)
+    # live postings: seq-scoped tombstones pre-applied (catalog helper)
+    p = read_live_postings(spark, index_dir, version)
     if p is None:
         raise ValueError(f"no postings_flat table in index {index_dir!r}")
     terms = sorted({r[2] for r in rows})
     p = p.select("term", "section", "doc_id", "positions").filter(
         F.col("term").isin(terms)
     )
-    dd = read_table(spark, index_dir, "deleted_docs", version)
-    if dd is not None:
-        p = p.join(
-            F.broadcast(dd.select("doc_id").distinct()), "doc_id", "left_anti"
-        )
     m = (
         p.join(F.broadcast(qt), p.term == qt.qterm)
         .select(
@@ -182,18 +178,14 @@ def proximity_search(
     qt = spark.createDataFrame(
         rows, "query_id int, idx int, qterm string, n int"
     )
-    p = read_table(spark, index_dir, "postings_flat", version)
+    # live postings: seq-scoped tombstones pre-applied (catalog helper)
+    p = read_live_postings(spark, index_dir, version)
     if p is None:
         raise ValueError(f"no postings_flat table in index {index_dir!r}")
     terms = sorted({r[2] for r in rows})
     p = p.select("term", "section", "doc_id", "positions").filter(
         F.col("term").isin(terms)
     )
-    dd = read_table(spark, index_dir, "deleted_docs", version)
-    if dd is not None:
-        p = p.join(
-            F.broadcast(dd.select("doc_id").distinct()), "doc_id", "left_anti"
-        )
     h = p.join(F.broadcast(qt), p.term == qt.qterm).select(
         "query_id",
         "section",

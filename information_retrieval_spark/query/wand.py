@@ -44,6 +44,7 @@ _DOCS_SCHEMA = T.StructType(
         T.StructField("term", T.StringType(), False),
         T.StructField("section", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
+        T.StructField("seg_seq", T.LongType(), False),
     ]
 )
 
@@ -61,11 +62,24 @@ def _tf_norm(tf: float, dl: float, avgdl: float) -> float:
 
 
 class _List:
-    """Cursor over one (term, section) posting run within a bucket."""
+    """Cursor over one (term, section) posting run within a bucket.
 
-    __slots__ = ("blocks", "bi", "off", "docs", "tfs", "dls", "weight", "avgdl", "ub")
+    ``dead`` (optional uint64 array) carries the doc_ids that seq-scoped
+    tombstones hide in THIS segment while the doc stays live in a newer
+    one (an updated doc awaiting compaction): those postings are filtered
+    out at decode time, invisibly to the WAND machinery above. Block
+    metadata (first/last doc, max bounds) stays the packed original —
+    conservative, so exactness is preserved — which means ``cur_doc`` on
+    an undecoded block is OPTIMISTIC (it may name a filtered doc);
+    callers that are about to trust it call ``materialize()`` first.
+    Fully-hidden docs (dead in every segment of the bucket) never reach
+    this path — they ride `_wand_query`'s zero-decode ``deleted`` set."""
 
-    def __init__(self, blocks: list, weight: float, avgdl: float):
+    __slots__ = ("blocks", "bi", "off", "docs", "tfs", "dls", "weight",
+                 "avgdl", "ub", "dead")
+
+    def __init__(self, blocks: list, weight: float, avgdl: float,
+                 dead: np.ndarray | None = None):
         # blocks: list of (first_doc, last_doc, docs_bin, tfs_bin, dls_bin,
         #                  max_tf, min_dl) sorted by block_id
         self.blocks = blocks
@@ -76,6 +90,7 @@ class _List:
         self.dls = None
         self.weight = weight  # mult * idf * section_weight
         self.avgdl = avgdl
+        self.dead = dead if dead is not None and len(dead) else None
         self.ub = weight * max(
             _tf_norm(b[5], b[6], avgdl) for b in blocks
         )
@@ -85,14 +100,36 @@ class _List:
 
     def cur_doc(self) -> int:
         if self.docs is None:
-            return self.blocks[self.bi][0]  # first_doc — exact, no decode
+            return self.blocks[self.bi][0]  # first_doc — no decode;
+            # optimistic under dead-filtering (see class docstring)
         return int(self.docs[self.off])
 
+    def materialize(self) -> None:
+        """Decode the current position so ``cur_doc`` is a real, live
+        posting (or the cursor is exhausted). No-op when already decoded;
+        in the common no-dead case this is the same decode that
+        contribution()/advance() would do anyway."""
+        if self.docs is None and not self.exhausted():
+            self._decode()
+
     def _decode(self) -> None:
-        b = self.blocks[self.bi]
-        self.docs = decode_doc_gaps(b[2])
-        self.tfs = varint_decode(b[3])
-        self.dls = varint_decode(b[4])
+        """Decode the current block, dropping dead postings; blocks that
+        filter to empty are skipped entirely (cursor may exhaust)."""
+        while self.bi < len(self.blocks):
+            b = self.blocks[self.bi]
+            docs = decode_doc_gaps(b[2])
+            tfs = varint_decode(b[3])
+            dls = varint_decode(b[4])
+            if self.dead is not None:
+                mask = ~np.isin(docs, self.dead)
+                if not mask.all():
+                    docs, tfs, dls = docs[mask], tfs[mask], dls[mask]
+            if len(docs):
+                self.docs, self.tfs, self.dls = docs, tfs, dls
+                return
+            self.bi += 1
+            self.off = 0
+        self.docs = self.tfs = self.dls = None
 
     def contribution(self) -> float:
         if self.docs is None:
@@ -110,6 +147,8 @@ class _List:
         """Next posting."""
         if self.docs is None:
             self._decode()
+            if self.docs is None:
+                return  # dead-filtering exhausted the remaining blocks
         self.off += 1
         if self.off >= len(self.docs):
             self.bi += 1
@@ -128,6 +167,8 @@ class _List:
             if self.blocks[self.bi][0] >= target:
                 return  # first_doc already ≥ target; stay undecoded
             self._decode()
+            if self.docs is None:
+                return  # dead-filtering exhausted the remaining blocks
         j = int(np.searchsorted(self.docs[self.off :], target)) + self.off
         if j >= len(self.docs):
             self.bi += 1
@@ -142,10 +183,12 @@ class _SegmentedList:
     """Cursor over the CONCATENATION of one (term, section)'s posting runs
     across LSM segments (index/maintenance.py: each incremental add commits
     a new packed segment instead of repacking). Segment doc-id sets are
-    DISJOINT (add_documents requires fresh doc_ids), so at any point exactly
-    one run holds the minimum doc — contribution/advance delegate to it, and
-    the upper bound is the max of the per-segment bounds (tight, unlike a
-    sum: no doc can combine tf across segments)."""
+    DISJOINT at the LIVE level: fresh adds use fresh doc_ids, and an
+    updated doc's old-segment postings are dead (seq-scoped tombstones)
+    and filtered out inside each run's `_List` — so at any point exactly
+    one run holds the minimum doc — contribution/advance delegate to it,
+    and the upper bound is the max of the per-segment bounds (tight,
+    unlike a sum: no doc can combine tf across segments)."""
 
     __slots__ = ("runs", "weight", "avgdl", "ub", "blocks")
 
@@ -185,6 +228,28 @@ class _SegmentedList:
         for r in self.runs:
             if not r.exhausted():
                 r.seek(target)
+
+    def materialize(self) -> None:
+        """Decode-verify the minimum position: dead-filtering may reveal
+        a run's optimistic first_doc was hidden, shifting the min —
+        loop until the min run(s) are decoded and stable."""
+        while True:
+            doc = None
+            for r in self.runs:
+                if not r.exhausted():
+                    c = r.cur_doc()
+                    if doc is None or c < doc:
+                        doc = c
+            if doc is None:
+                return
+            moved = False
+            for r in self.runs:
+                if not r.exhausted() and r.cur_doc() == doc:
+                    r.materialize()
+                    if r.exhausted() or r.cur_doc() != doc:
+                        moved = True
+            if not moved:
+                return
 
 
 class _MergedList:
@@ -237,6 +302,27 @@ class _MergedList:
             if not r.exhausted():
                 r.seek(target)
 
+    def materialize(self) -> None:
+        """Same min-stabilizing loop as `_SegmentedList.materialize` (the
+        runs here are `_List`/`_SegmentedList`, both materializable)."""
+        while True:
+            doc = None
+            for r in self.runs:
+                if not r.exhausted():
+                    c = r.cur_doc()
+                    if doc is None or c < doc:
+                        doc = c
+            if doc is None:
+                return
+            moved = False
+            for r in self.runs:
+                if not r.exhausted() and r.cur_doc() == doc:
+                    r.materialize()
+                    if r.exhausted() or r.cur_doc() != doc:
+                        moved = True
+            if not moved:
+                return
+
 
 def _wand_query(
     lists: list, k: int, deleted: frozenset = frozenset(), allowed=None
@@ -273,6 +359,19 @@ def _wand_query(
             break  # Σ ub ≪ θ: no remaining doc can enter the top-k
         pivot = lists[pivot_idx].cur_doc()
         if lists[0].cur_doc() == pivot:
+            # decode-verify every claimant: under seq-scoped tombstones an
+            # undecoded block's first_doc can be a hidden posting of an
+            # updated doc — materialize() filters it and moves the cursor
+            # forward. Cheap: claimants decode for contribution()/advance()
+            # anyway; cursors only move forward, so the loop terminates.
+            any_at_pivot = False
+            for L in lists:
+                if not L.exhausted() and L.cur_doc() == pivot:
+                    L.materialize()
+                    if not L.exhausted() and L.cur_doc() == pivot:
+                        any_at_pivot = True
+            if not any_at_pivot:
+                continue  # the pivot doc was fully dead here; re-pick
             live = pivot not in deleted and (allowed is None or allowed(pivot))
             score = 0.0
             if live:
@@ -334,7 +433,12 @@ class WandEngine:
         self.version = version
         self.distributed_spell = distributed_spell
         self.packed = read_packed(spark, index_dir, version)
-        self.doclen = read_table(spark, index_dir, "doclen", version)
+        # live-filtered: an updated doc awaiting compaction has doclen
+        # rows in both its old and new segments — _dl_map's per-doc
+        # section map would hit duplicate keys on the stale ones
+        from information_retrieval_spark.index.catalog import read_live_table
+
+        self.doclen = read_live_table(spark, index_dir, "doclen", version)
         self.term_df = read_term_df(spark, index_dir, version)
         stop = read_table(spark, index_dir, "stopwords", version)
         self.stop_terms = {r.term for r in stop.collect()}
@@ -342,14 +446,15 @@ class WandEngine:
             self.config = json.load(f)["config"]
         self.sections = list(self.config["sections"].keys())
         self.tokenizer = self.config["tokenizer"]
-        # delete-vector (index/maintenance.py): never collected — the
-        # scoring pass receives each bucket's deleted ids cogrouped with
-        # its shard (see search), so membership stays partition-aligned
-        # at any delete-vector size.
-        dd = read_table(spark, index_dir, "deleted_docs", version)
-        self.deleted_df = (
-            dd.select("doc_id").distinct() if dd is not None else None
-        )
+        # delete-vector (index/maintenance.py): (doc_id, upto) seq-scoped
+        # tombstones — a row hides the doc only in segments with
+        # _SEQ <= upto, so an updated/re-added doc's new rows stay live.
+        # Never collected: the scoring pass receives each bucket's
+        # tombstones cogrouped with its shard (see search), so membership
+        # stays partition-aligned at any delete-vector size.
+        from information_retrieval_spark.index.catalog import read_deletes
+
+        self.deleted_df = read_deletes(spark, index_dir, version)
         self.doc_meta = read_doc_meta(spark, index_dir, version)
         self.n_buckets = int(self.config.get("n_buckets", 8))
         self.max_prefix_expand = max_prefix_expand
@@ -553,11 +658,14 @@ class WandEngine:
                             if arrs
                             else np.empty(0, dtype=np.int64)
                         ),
+                        "seg_seq": np.repeat(
+                            pdf["seg_seq"].to_numpy(), lens
+                        ),
                     }
                 )
 
         matched = shard.select(
-            "term", "section", "docs_bin"
+            "term", "section", "docs_bin", "seg_seq"
         ).mapInPandas(decode_docs, _DOCS_SCHEMA)
         # (query_id, qterm, term) triples map expanded terms back to qterms
         qt_rows = [
@@ -574,11 +682,13 @@ class WandEngine:
             qt_rows, "query_id long, qterm string, term string"
         )
         mq = matched.join(F.broadcast(qt), "term")
-        live_mq = (
-            mq.join(F.broadcast(self.deleted_df), "doc_id", "left_anti")
-            if self.deleted_df is not None
-            else mq
-        )
+        # seq-scoped tombstone filter (same anti-join shape as
+        # catalog.filter_deleted): the pre-pass stats recompute over live
+        # rows only, and an updated doc counts once (its old-segment rows
+        # are hidden, its new-segment rows live)
+        from information_retrieval_spark.index.catalog import filter_deleted
+
+        live_mq = filter_deleted(mq, self.deleted_df)
         # category filter (QuerySpec.filter_category): restrict filtered
         # queries' matched streams to their category's docs BEFORE the gate
         # and candidate stats — same placement as engine._matched
@@ -626,10 +736,12 @@ class WandEngine:
         has_must = {qid for qid, _, _ in mu_rows}
         ex_df = mu_df = None
         if mu_rows or ex_rows:
-            from information_retrieval_spark.index.catalog import read_table
+            from information_retrieval_spark.index.catalog import (
+                read_live_postings,
+            )
 
-            pf = read_table(
-                self.spark, self.index_dir, "postings_flat", self.version
+            pf = read_live_postings(
+                self.spark, self.index_dir, self.version
             )
             if pf is None:
                 raise ValueError(
@@ -642,10 +754,6 @@ class WandEngine:
             fp = pf.select("term", "doc_id").filter(
                 F.col("term").isin(fterms)
             )
-            if self.deleted_df is not None:
-                fp = fp.join(
-                    F.broadcast(self.deleted_df), "doc_id", "left_anti"
-                )
             # no fp-wide distinct: (term, doc_id) repeats only across
             # sections, and BOTH consumers dedup inherently (the exclude
             # branch distincts its own projection; the must branch counts
@@ -808,7 +916,7 @@ class WandEngine:
         def wand_bucket_impl(
             pdf: pd.DataFrame,
             cat_of: dict | None,
-            deleted: frozenset,
+            deleted_upto: dict,
             ex_docs: dict | None = None,
             mu_docs: dict | None = None,
         ) -> pd.DataFrame:
@@ -816,8 +924,10 @@ class WandEngine:
             # its own sorted, non-overlapping run; multi-segment groups get
             # a _SegmentedList cursor over the per-segment _Lists
             by_ts: dict[tuple[str, str], dict[int, list]] = {}
+            seq_of_seg: dict[int, int] = {}
             pdf = pdf.sort_values(["term", "section", "segment", "block_id"])
             for r in pdf.itertuples(index=False):
+                seq_of_seg[int(r.segment)] = int(r.seg_seq)
                 by_ts.setdefault((r.term, r.section), {}).setdefault(
                     int(r.segment), []
                 ).append(
@@ -825,10 +935,39 @@ class WandEngine:
                      r.dls_bin, r.max_tf, r.min_dl)
                 )
 
+            # tombstones split two ways (deleted_upto: doc → max upto):
+            # * upto >= every segment seq in this bucket → the doc is dead
+            #   in ALL its postings here: zero-decode skip at pivot level
+            #   (the classic delete path, `deleted` in _wand_query);
+            # * upto below the newest seq (an updated doc whose re-added
+            #   rows live in a newer segment) → per-segment dead arrays,
+            #   filtered out inside `_List._decode`. Mutually exclusive by
+            #   construction — advance() past a pivot-level-deleted doc
+            #   must still SEE its posting, or it would skip a live one.
+            max_seq = max(seq_of_seg.values(), default=0)
+            dead_all = frozenset(
+                d for d, u in deleted_upto.items() if u >= max_seq
+            )
+            partial = [
+                (d, u) for d, u in deleted_upto.items() if u < max_seq
+            ]
+            dead_of_seq: dict[int, np.ndarray | None] = {}
+            for s in set(seq_of_seg.values()):
+                if partial:
+                    ids = [d for d, u in partial if u >= s]
+                    dead_of_seq[s] = (
+                        np.array(ids, dtype=np.int64).view(np.uint64)
+                        if ids
+                        else None
+                    )
+                else:
+                    dead_of_seq[s] = None
+
             def cursor(key: tuple[str, str], weight: float, avgdl: float):
                 segs = [
-                    _List(blocks, weight, avgdl)
-                    for _, blocks in sorted(by_ts[key].items())
+                    _List(blocks, weight, avgdl,
+                          dead=dead_of_seq[seq_of_seg[seg]])
+                    for seg, blocks in sorted(by_ts[key].items())
                 ]
                 return segs[0] if len(segs) == 1 else _SegmentedList(
                     segs, weight, avgdl
@@ -873,7 +1012,7 @@ class WandEngine:
                 if not lists:
                     continue
                 k = meta["k"] if meta["k"] > 0 else 1 << 30
-                for doc, score in _wand_query(lists, k, deleted, allowed):
+                for doc, score in _wand_query(lists, k, dead_all, allowed):
                     out_q.append(qid)
                     out_d.append(doc)
                     out_s.append(score)
@@ -900,11 +1039,13 @@ class WandEngine:
                 )
             )
         if has_deletes:
+            # upto rides the val channel so the bucket scorer can scope
+            # each tombstone to the segments it actually hides
             metas.append(
                 self.deleted_df.select(
                     "doc_id",
                     F.lit("del").alias("kind"),
-                    F.lit(None).cast("string").alias("val"),
+                    F.col("upto").cast("string").alias("val"),
                 )
             )
         if ex_df is not None:
@@ -938,7 +1079,13 @@ class WandEngine:
                 kinds = right["kind"].to_numpy()
                 docs = right["doc_id"].to_numpy()
                 vals = right["val"].to_numpy()
-                deleted = frozenset(docs[kinds == "del"].tolist())
+                is_del = kinds == "del"
+                deleted_upto = {
+                    int(d): int(v)
+                    for d, v in zip(
+                        docs[is_del].tolist(), vals[is_del].tolist()
+                    )
+                }
                 is_cat = kinds == "cat"
                 cat_of = dict(
                     zip(docs[is_cat].tolist(), vals[is_cat].tolist())
@@ -953,7 +1100,9 @@ class WandEngine:
                     docs[kinds == "muq"].tolist(), vals[kinds == "muq"].tolist()
                 ):
                     mu_docs.setdefault(int(v), set()).add(d)
-                return wand_bucket_impl(left, cat_of, deleted, ex_docs, mu_docs)
+                return wand_bucket_impl(
+                    left, cat_of, deleted_upto, ex_docs, mu_docs
+                )
 
             per_bucket = (
                 shard.groupby("bucket")
@@ -962,7 +1111,7 @@ class WandEngine:
             )
         else:
             def wand_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-                return wand_bucket_impl(pdf, None, frozenset())
+                return wand_bucket_impl(pdf, None, {})
 
             per_bucket = shard.groupBy("bucket").applyInPandas(
                 wand_bucket, _TOPK_SCHEMA

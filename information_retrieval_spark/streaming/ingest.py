@@ -111,7 +111,21 @@ def run_incremental_indexing(
     def handle(batch_df, batch_id: int) -> None:
         stage = os.path.join(index_dir, f"__stage_batch_{int(batch_id)}")
         if batch_applied(index_dir, int(batch_id)):
-            # replay after the committed snapshot: drop any leftover stage
+            # replay after the committed snapshot. A LEFTOVER FROZEN stage
+            # here means the previous attempt crashed after its commit but
+            # before cleanup — i.e. possibly inside its auto-compact — so
+            # the segment bound may still be violated: re-run the compact
+            # check before dropping the stage (without this, the bound
+            # stayed broken until a later over-bound batch re-triggered it).
+            if (
+                auto_compact_segments is not None
+                and IndexMaintenance.is_staged(stage)
+            ):
+                IndexMaintenance(
+                    spark, index_dir,
+                    auto_compact_segments=auto_compact_segments,
+                    auto_compact_mode=auto_compact_mode,
+                )._maybe_auto_compact()
             shutil.rmtree(stage, ignore_errors=True)
             return
         maint = IndexMaintenance(

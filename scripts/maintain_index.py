@@ -11,8 +11,9 @@ Commands:
                                  delta segments only)
   remove --doc-ids 1,2,3         logical delete (delete-vector commit)
   update --delta <parquet>       replace docs under the SAME doc_ids:
-                                 tombstone -> tiered-compact only the
-                                 segments holding the old rows -> re-add
+                                 seq-scoped tombstone + re-add (cost is
+                                 delta-sized even for base-resident docs;
+                                 the purge rides the next compact)
   compact [--segments 1,2 | --to N]  drop deletes + merge segments; with
                                  --segments, a TIERED merge of only those
                                  segment indices (0 = base) — cost ∝
@@ -126,8 +127,16 @@ def main() -> None:
                 if args.segments
                 else None
             )
-        maint.compact(segments=segs)
-        out = {"compacted": True, "segments": segs}
+        # compact() returns the committed snapshot version, or None when
+        # there was nothing to do (e.g. --segments naming one segment with
+        # no delete vector) — report the no-op honestly
+        new_v = maint.compact(segments=segs)
+        out = {
+            "compacted": new_v is not None,
+            "segments": segs,
+        }
+        if new_v is None:
+            out["reason"] = "nothing to merge or drop"
     elif args.command == "recover":
         out = {"recovered_stages": maint.recover_stages()}
     elif args.command == "expire":

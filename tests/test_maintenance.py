@@ -896,12 +896,16 @@ def test_plan_compaction_picks_smallest_segments(spark, tmp_path_factory):
 
 
 def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
-    """Seeded random interleaving of add / remove / tiered-compact /
-    full-compact, model-checked after EVERY step against a fresh build
-    over exactly the live docs (stop list pinned). Pins the mutation
-    algebra: tombstones survive partial compacts they don't cover,
-    n_docs stays exact, both engines agree with the model throughout."""
+    """Seeded random interleaving of add / remove / UPDATE / RESURRECT /
+    tiered-compact / full-compact, model-checked after EVERY step against
+    a fresh build over exactly the live docs at their CURRENT content
+    (stop list pinned). Pins the mutation algebra under seq-scoped
+    tombstones: an updated doc counts once with its new content even
+    while the hidden old rows await purge, a re-added removed id is live
+    again, tombstones survive partial compacts they don't cover, and
+    both engines agree with the model throughout."""
     import random
+    from dataclasses import replace as dc_replace
 
     from information_retrieval_spark.index.catalog import table_dirs
 
@@ -916,6 +920,7 @@ def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
     stop = _stop_of(spark, d)
     maint = IndexMaintenance(spark, d)
     live = {r.doc_id for r in rows[:100]}
+    removed: set = set()
     unadded = [rows[i:i + 20] for i in range(100, 200, 20)]
 
     def check(step):
@@ -928,8 +933,10 @@ def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
         assert _results(SearchEngine(spark, d)) == want, f"step {step}"
         assert _results(WandEngine(spark, d)) == want, f"step {step}"
 
-    for step in range(8):
-        ops = ["remove", "tiered", "full"] + (["add"] if unadded else [])
+    for step in range(10):
+        ops = ["remove", "tiered", "full", "update"] + (
+            ["add"] if unadded else []
+        ) + (["resurrect"] if removed else [])
         op = rng.choice(ops)
         if op == "add" and unadded:
             batch = unadded.pop(0)
@@ -939,6 +946,26 @@ def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
             victims = rng.sample(sorted(live), k=min(3, len(live)))
             maint.remove_documents(victims)
             live -= set(victims)
+            removed |= set(victims)
+        elif op == "update" and live:
+            targets = rng.sample(sorted(live), k=min(3, len(live)))
+            for t in targets:
+                by_id[t] = dc_replace(
+                    by_id[t],
+                    content=f"rewritten content iteration {step} doc {t}"
+                    f" {by_id[t].content}",
+                )
+            maint.update_documents(_df(spark, [by_id[t] for t in targets]))
+        elif op == "resurrect" and removed:
+            back = rng.sample(sorted(removed), k=min(2, len(removed)))
+            for t in back:
+                by_id[t] = dc_replace(
+                    by_id[t],
+                    content=f"resurrected at step {step}: {by_id[t].content}",
+                )
+            maint.add_documents(_df(spark, [by_id[t] for t in back]))
+            removed -= set(back)
+            live |= set(back)
         elif op == "tiered":
             n = len(table_dirs(d, "packed"))
             if n >= 2:
@@ -952,9 +979,14 @@ def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
 # ------------------------------------------------------------------ update
 
 
-def test_add_refuses_tombstoned_ids(spark, tmp_path_factory):
-    """Re-adding a removed doc_id must fail loudly: the global delete
-    vector would silently hide the new segment's rows otherwise."""
+def test_add_resurrects_tombstoned_ids(spark, tmp_path_factory):
+    """Re-adding a removed doc_id RESURRECTS it: tombstones are
+    seq-scoped — (doc_id, upto) hides only segments with _SEQ <= upto —
+    so the re-added segment's rows are live immediately while the old
+    rows stay hidden. Both engines must answer exactly like a fresh
+    build over (survivors + the re-added content)."""
+    from dataclasses import replace as dc_replace
+
     rows = corpus_rows(140)
     d = str(tmp_path_factory.mktemp("reads"))
     IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
@@ -962,18 +994,37 @@ def test_add_refuses_tombstoned_ids(spark, tmp_path_factory):
     )
     maint = IndexMaintenance(spark, d)
     maint.remove_documents([rows[5].doc_id])
-    with pytest.raises(ValueError, match="tombstoned"):
-        maint.add_documents(_df(spark, [rows[5]] + rows[120:130]))
-    # untainted delta still adds fine
-    assert maint.add_documents(_df(spark, rows[120:130])) == 10
+    # re-add the removed id with NEW content alongside fresh docs
+    reborn = dc_replace(
+        rows[5], content="tokenizer stream resurrected payload"
+    )
+    assert maint.add_documents(_df(spark, [reborn] + rows[120:130])) == 11
+
+    model = [reborn] + [r for r in rows[:130] if r.doc_id != rows[5].doc_id]
+    fresh = str(tmp_path_factory.mktemp("readsfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, model))
+    want = _results(SearchEngine(spark, fresh))
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+    # compact purges the hidden old rows and clears the vector; answers hold
+    maint.compact()
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    assert table_dirs(d, "deleted_docs") == []
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
 
 
 def test_update_documents_replaces_content(spark, tmp_path_factory):
     """update_documents: same doc_ids, new content — queries see the new
-    content, the old rows are physically purged from exactly the
-    segments that held them, untouched segments keep their dirs, and the
-    result matches a fresh build over the updated corpus. Time travel
-    still answers the pre-update results."""
+    content IMMEDIATELY while NO existing segment is rewritten (cost ∝
+    delta: seq-scoped tombstone + add), and the result matches a fresh
+    build over the updated corpus. The physical purge rides the next
+    compact, which also clears the vector and restores the exact n_docs.
+    Time travel still answers the pre-update results."""
     from information_retrieval_spark.index.catalog import (
         read_stats_pdf,
         table_dirs,
@@ -989,8 +1040,7 @@ def test_update_documents_replaces_content(spark, tmp_path_factory):
     maint.add_documents(_df(spark, rows[140:160]))
     pre = _results(SearchEngine(spark, d))
     pre_version = IndexMaintenance(spark, d).cat.current_version()
-    base_dir = table_dirs(d, "packed")[0]
-    seg2_dir = table_dirs(d, "packed")[2]
+    pre_dirs = table_dirs(d, "packed")
 
     # rewrite two docs that live in segment 1 (the first add)
     from dataclasses import replace as dc_replace
@@ -1019,18 +1069,110 @@ def test_update_documents_replaces_content(spark, tmp_path_factory):
     assert _results(WandEngine(spark, d)) == want
 
     dirs = table_dirs(d, "packed")
-    assert dirs[0] == base_dir       # base untouched (old rows weren't there)
-    assert seg2_dir in dirs          # segment 2 untouched
-    assert len(dirs) == 4            # base, purged seg1, seg2, new delta
-    assert table_dirs(d, "deleted_docs") == []  # tombstones fully applied
-    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == 160
+    assert dirs[:3] == pre_dirs      # EVERY old segment byte-untouched
+    assert len(dirs) == 4            # + the update's new delta segment
+    # tombstones pending (hide the old rows only), ledger carries the
+    # hidden versions until the purge
+    assert len(table_dirs(d, "deleted_docs")) == 1
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == 162
 
     # time travel: the pre-update snapshot still answers the old content
     assert _results(SearchEngine(spark, d, version=pre_version)) == pre
 
+    # the next compact purges physically: vector cleared, n_docs exact,
+    # answers unchanged
+    maint.compact()
+    assert table_dirs(d, "deleted_docs") == []
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == 160
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
 
-def test_update_documents_of_absent_ids_is_plain_add(spark, tmp_path_factory):
-    from information_retrieval_spark.index.catalog import table_dirs
+
+def test_update_of_base_resident_docs_never_rewrites_base(
+    spark, tmp_path_factory
+):
+    """THE seq-scoped-tombstone payoff: updating docs whose old rows live
+    in the BASE segment of a fully-compacted index costs tombstone + add
+    — the base directory's files are byte-untouched (same paths, same
+    mtimes/sizes), queries see the new content immediately, and the
+    physical purge rides a LATER compact. Round 4 paid a synchronous
+    base rewrite here; at a 10^12-file base that was the one named
+    scale-killer."""
+    import os
+    from dataclasses import replace as dc_replace
+
+    from information_retrieval_spark.index.catalog import (
+        read_stats_pdf,
+        table_dirs,
+    )
+
+    rows = corpus_rows(160)
+    d = str(tmp_path_factory.mktemp("updbase"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:140]))
+    maint.compact()  # everything (rows[:140]) now lives in ONE base segment
+    assert len(table_dirs(d, "packed")) == 1
+
+    def fingerprint(dirpath):
+        out = {}
+        for root, _, files in os.walk(dirpath):
+            for fn in files:
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                out[p] = (st.st_size, st.st_mtime_ns, st.st_ino)
+        return out
+
+    fps = {
+        t: fingerprint(table_dirs(d, t)[0])
+        for t in ("packed", "postings_flat", "doclen")
+    }
+
+    updated = [
+        dc_replace(r, content=f"fully rewritten base doc {r.doc_id}")
+        for r in rows[3:6]
+    ]
+    assert maint.update_documents(_df(spark, updated)) == 3
+
+    # base segment files byte-untouched across every doc-row table
+    for t, fp in fps.items():
+        assert fingerprint(table_dirs(d, t)[0]) == fp, t
+    assert len(table_dirs(d, "packed")) == 2  # base + the update delta
+    assert len(table_dirs(d, "deleted_docs")) == 1  # tombstones pending
+
+    model = updated + [r for r in rows[:140] if r.doc_id not in
+                       {u.doc_id for u in updated}]
+    fresh = str(tmp_path_factory.mktemp("updbasefresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, model))
+    want = _results(SearchEngine(spark, fresh))
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+    # the purge is DEFERRED work: the next compact drops the hidden rows,
+    # clears the vector, restores the exact count — answers unchanged
+    maint.compact()
+    assert table_dirs(d, "deleted_docs") == []
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == 140
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+
+def test_update_documents_of_absent_ids_degrades_to_add(
+    spark, tmp_path_factory
+):
+    """Updating ids the index has never seen: the tombstones hide nothing
+    (no old rows exist at or below their upto), the add is a plain add,
+    answers match a fresh build, and the next compact drops the
+    pointless tombstones without touching n_docs."""
+    from information_retrieval_spark.index.catalog import (
+        read_stats_pdf,
+        table_dirs,
+    )
 
     rows = corpus_rows(140)
     d = str(tmp_path_factory.mktemp("updnew"))
@@ -1040,14 +1182,30 @@ def test_update_documents_of_absent_ids_is_plain_add(spark, tmp_path_factory):
     maint = IndexMaintenance(spark, d)
     v0 = maint.cat.current_version()
     assert maint.update_documents(_df(spark, rows[120:140])) == 20
-    # no tombstone/compact commits happened — just the add
+    # tombstone + add commits; the update never scans the index to test
+    # presence (that scan is what the seq-scoped design removes)
     ops = [
         maint.cat.load(v)["operation"]
         for v in maint.cat.versions()
         if v > v0
     ]
-    assert ops == ["add"]
+    assert ops == ["remove", "add"]
     assert len(table_dirs(d, "packed")) == 2
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == 140
+
+    fresh = str(tmp_path_factory.mktemp("updnewfresh"))
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10,
+        stop_terms=_stop_of(spark, d),
+    ).build(_df(spark, rows))
+    want = _results(SearchEngine(spark, fresh))
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+    maint.compact()
+    assert table_dirs(d, "deleted_docs") == []  # no-op tombstones dropped
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == 140
+    assert _results(SearchEngine(spark, d)) == want
 
 
 def test_expire_after_partial_compact_gcs_only_merged_dirs(
