@@ -109,6 +109,7 @@ class IndexMaintenance:
         index_dir: str,
         auto_compact_segments: int | None = None,
         auto_compact_mode: str = "full",
+        target_segment_bytes: int | None = None,
     ):
         """``auto_compact_segments``: when set, an add whose commit leaves
         MORE than this many LSM segments triggers ``compact()`` — the
@@ -125,7 +126,18 @@ class IndexMaintenance:
         delta bytes and the base's packed dirs are byte-identical across
         compactions (pytest-pinned). Deletes against merged segments are
         applied physically; deletes against the base stay in the delete
-        vector until an explicit full ``compact()``."""
+        vector until an explicit full ``compact()``.
+
+        ``target_segment_bytes``: when set, every compaction this
+        instance runs caps its OUTPUT segments at ~this many packed
+        bytes, hash-splitting the merged rows by doc_id into K =
+        ceil(input_bytes / cap) segments. This bounds the worst-case
+        future rewrite unit: without it, repeated compaction grows one
+        ever-larger base whose next rewrite is unbounded (the Lucene
+        max-merged-segment-size dial). Splits land as ordinary sibling
+        segments — one dir per segmented table each, disjoint doc_id
+        sets — so every reader and later compaction treats them
+        uniformly."""
         if auto_compact_mode not in ("full", "tiered"):
             raise ValueError(
                 f"auto_compact_mode must be 'full' or 'tiered',"
@@ -135,6 +147,7 @@ class IndexMaintenance:
         self.index_dir = index_dir
         self.auto_compact_segments = auto_compact_segments
         self.auto_compact_mode = auto_compact_mode
+        self.target_segment_bytes = target_segment_bytes
         with open(os.path.join(index_dir, "manifest.json")) as f:
             self.config = json.load(f)["config"]
         self.cat = Catalog(index_dir)
@@ -207,7 +220,8 @@ class IndexMaintenance:
             # base excluded the reachable floor is 2 segments; a plan of
             # fewer than 2 candidates is a no-op (nothing to merge).
             segs = self.plan_compaction(
-                self.auto_compact_segments, exclude_base=True
+                self.auto_compact_segments, exclude_base=True,
+                target_bytes=self.target_segment_bytes,
             )
             if segs is not None and len(segs) >= 2:
                 self.compact(segments=segs)
@@ -551,11 +565,23 @@ class IndexMaintenance:
 
     # -------------------------------------------------------------- compact
 
-    def compact(self, segments: list[int] | None = None) -> int | None:
+    def compact(
+        self,
+        segments: list[int] | None = None,
+        target_bytes: int | None = None,
+    ) -> int | None:
         """Physically drop deleted docs AND merge LSM segments. Returns
         the committed snapshot version, or None when there was nothing to
         do (no deletes, nothing to merge — callers like the CLI report
         the no-op honestly instead of claiming a compaction happened).
+
+        ``target_bytes`` (default: the instance's
+        ``target_segment_bytes``) caps each OUTPUT segment at ~that many
+        packed bytes: the merged rows are hash-split by doc_id into
+        K = ceil(input_bytes / cap) sibling segments, so no future
+        rewrite unit exceeds the cap — including the base: a full
+        ``compact(target_bytes=...)`` SPLITS an oversized base instead
+        of growing it. Splits share one snapshot commit and one _SEQ.
 
         ``segments=None`` (default): merge ALL segments into
         one: rewrite postings/doclen/doc_meta/packed, re-derive
@@ -593,8 +619,21 @@ class IndexMaintenance:
                 " now would be silently undone by their recovery commit;"
                 " run recover_stages() (or retry the crashed add) first"
             )
+        if target_bytes is None:
+            target_bytes = self.target_segment_bytes
         if segments is not None:
-            return self._compact_segments(segments)
+            return self._compact_segments(segments, target_bytes=target_bytes)
+        if target_bytes is not None:
+            # size-capped FULL compact: route through the splitting merge
+            # over every segment — it applies all tombstones (no unmerged
+            # segment survives to keep one alive), so the vector clears
+            # exactly as the single-output path does
+            n = len(self.cat.table_dirs("packed"))
+            if n == 0:
+                return None
+            return self._compact_segments(
+                list(range(n)), target_bytes=target_bytes
+            )
         from information_retrieval_spark.index.catalog import (
             filter_deleted,
             read_doc_meta,
@@ -716,7 +755,10 @@ class IndexMaintenance:
         return sizes
 
     def plan_compaction(
-        self, max_segments: int, exclude_base: bool = False
+        self,
+        max_segments: int,
+        exclude_base: bool = False,
+        target_bytes: int | None = None,
     ) -> list[int] | None:
         """Size-tiered merge plan: the CHEAPEST segment subset whose merge
         brings the count down to ``max_segments``. Merging k segments
@@ -730,19 +772,47 @@ class IndexMaintenance:
         ``exclude_base=True`` pins segment 0 out of the plan (the tiered
         auto-compact contract: the base is never rewritten) — the
         reachable floor is then 2 segments, and a plan needing more
-        candidates than exist is clamped to all the deltas."""
+        candidates than exist is clamped to all the deltas.
+
+        ``target_bytes``: plan against the segment-size cap — merging k
+        segments of B total bytes yields ceil(B / cap) outputs, not 1,
+        so the planner grows the chosen set (smallest-first) until the
+        post-merge count meets the bound. When the cap makes the bound
+        unreachable (all candidates merged still exceed it because the
+        bytes genuinely need that many cap-sized segments), it returns
+        the all-candidates plan if that at least REDUCES the count,
+        else None — a bound below ceil(total_bytes / cap) is simply not
+        satisfiable without data loss."""
         if max_segments < 1:
             raise ValueError("max_segments must be >= 1")
         sizes = self.segment_sizes()
-        k = len(sizes) - max_segments + 1
-        candidates = list(range(1 if exclude_base else 0, len(sizes)))
-        k = min(k, len(candidates))
-        if k < 2:
-            return None
-        by_size = sorted(candidates, key=lambda i: (sizes[i], i))
-        return sorted(by_size[:k])
+        n = len(sizes)
+        candidates = sorted(
+            range(1 if exclude_base else 0, n),
+            key=lambda i: (sizes[i], i),
+        )
 
-    def _compact_segments(self, segments: list[int]) -> int | None:
+        def n_out(chosen: list[int]) -> int:
+            if target_bytes is None:
+                return 1
+            b = sum(sizes[i] for i in chosen)
+            return max(1, -(-b // target_bytes))  # ceil
+
+        if n <= max_segments:
+            return None
+        best = None
+        for k in range(2, len(candidates) + 1):
+            chosen = candidates[:k]
+            after = n - k + n_out(chosen)
+            if after < n:
+                best = chosen
+            if after <= max_segments:
+                return sorted(chosen)
+        return sorted(best) if best is not None else None
+
+    def _compact_segments(
+        self, segments: list[int], target_bytes: int | None = None
+    ) -> int | None:
         """Merge ONLY ``segments`` (packed-dir-list indices) into one new
         segment; every other segment's files are untouched — the catalog
         commit just splices the new dir in at the merged run's first
@@ -751,6 +821,15 @@ class IndexMaintenance:
         keep query fan-in low (BENCH fan-in table) without ever paying a
         base-segment rewrite. RocksDB/Lucene tiered-merge economics on
         the snapshot catalog. Returns the committed version (None: no-op).
+
+        ``target_bytes``: cap each output segment at ~this many packed
+        bytes — the merged rows hash-split by doc_id into
+        K = ceil(merged_input_bytes / cap) sibling segments (disjoint
+        doc_id sets, one dir per segmented table each, one shared _SEQ),
+        spliced in at the merged run's position. K = 1 (or no cap) is
+        the classic single-output merge. A single OVERSIZED segment with
+        no deletes is a valid target: K > 1 splits it — the only way to
+        shrink the worst-case future rewrite unit.
 
         Deletes (seq-scoped): a tombstone ``(doc_id, upto)`` is applied
         physically to merged rows whose segment ``_SEQ <= upto``; rows of
@@ -794,8 +873,13 @@ class IndexMaintenance:
                 f"segment indices {segs} out of range for {n_seg} segments"
             )
         d = self.deleted()
-        if len(segs) == 1 and d is None:
-            return None  # nothing to merge, nothing to drop
+        sizes = self.segment_sizes()
+        merged_bytes = sum(sizes[i] for i in segs)
+        n_out = 1
+        if target_bytes is not None and target_bytes > 0:
+            n_out = max(1, -(-merged_bytes // target_bytes))  # ceil
+        if len(segs) == 1 and d is None and n_out <= 1:
+            return None  # nothing to merge, drop, or split
         token = uuid.uuid4().hex[:12]
         # one seq per segment INDEX, read off the packed sidecars (every
         # table's dir at index i belongs to the same segment/commit)
@@ -822,12 +906,57 @@ class IndexMaintenance:
             return out
 
         changes: dict = {}
-        new_rel: dict[str, str] = {}
+        new_rel: dict[str, list[str]] = {}
 
-        def fresh(table: str) -> str:
-            rel = self.cat.new_data_dir(table, token)
-            new_rel[table] = rel
+        def fresh(table: str, j: int | None = None) -> str:
+            tok = token if j is None else f"{token}s{j}"
+            rel = self.cat.new_data_dir(table, tok)
+            new_rel.setdefault(table, []).append(rel)
             return self.cat.abspath(rel)
+
+        def split_write(
+            df: DataFrame,
+            table: str,
+            key: str = "doc_id",
+            partition_cols: tuple = (),
+        ) -> None:
+            """Write ``df`` into ``n_out`` catalog dirs hash-split by
+            ``key`` (deterministic xxhash64 — the same row always lands
+            in the same split). n_out == 1 is the classic single-dir
+            write. The K-way path evaluates df ONCE, writing partitioned
+            by the split id into a scratch data dir (expire GCs it if we
+            crash), then renames each partition subdir into its own
+            catalog dir; a split that came out empty gets an explicit
+            empty-but-schema'd write so readers can still infer."""
+            if n_out == 1:
+                w = df.write.mode("overwrite")
+                if partition_cols:
+                    w = w.partitionBy(*partition_cols)
+                w.parquet(fresh(table))
+                return
+            scratch = self.cat.abspath(
+                self.cat.new_data_dir(table, f"{token}scratch")
+            )
+            shutil.rmtree(scratch, ignore_errors=True)
+            (
+                df.withColumn(
+                    "__split",
+                    F.pmod(F.xxhash64(F.col(key)), F.lit(n_out)),
+                )
+                .write.mode("overwrite")
+                .partitionBy("__split", *partition_cols)
+                .parquet(scratch)
+            )
+            for j in range(n_out):
+                dst = fresh(table, j)
+                srcd = os.path.join(scratch, f"__split={j}")
+                if os.path.isdir(srcd):
+                    os.replace(srcd, dst)
+                else:
+                    spark.createDataFrame([], df.schema).repartition(
+                        1
+                    ).write.mode("overwrite").parquet(dst)
+            shutil.rmtree(scratch, ignore_errors=True)
 
         # hidden (doc, segment) versions being purged — the ledger delta
         merged_dl = union_dirs("doclen", with_seq=True)
@@ -851,46 +980,55 @@ class IndexMaintenance:
             n_del_sub = 0
 
         for table in ("postings_flat", "doclen"):
-            filter_deleted(
-                union_dirs(table, with_seq=True), d
-            ).write.mode("overwrite").parquet(fresh(table))
-            write_segment_seq(self.cat.abspath(new_rel[table]), new_seq)
-        new_postings = spark.read.parquet(
-            self.cat.abspath(new_rel["postings_flat"])
-        )
-        new_doclen = spark.read.parquet(self.cat.abspath(new_rel["doclen"]))
+            split_write(filter_deleted(union_dirs(table, with_seq=True), d),
+                        table)
+            for rel in new_rel[table]:
+                write_segment_seq(self.cat.abspath(rel), new_seq)
 
         if has_meta:
-            filter_deleted(
-                union_dirs("doc_meta", with_seq=True), d
-            ).sortWithinPartitions("doc_id").write.mode(
-                "overwrite"
-            ).partitionBy("category").parquet(fresh("doc_meta"))
-            write_segment_seq(self.cat.abspath(new_rel["doc_meta"]), new_seq)
+            split_write(
+                filter_deleted(
+                    union_dirs("doc_meta", with_seq=True), d
+                ).sortWithinPartitions("doc_id"),
+                "doc_meta",
+                partition_cols=("category",),
+            )
+            for rel in new_rel["doc_meta"]:
+                write_segment_seq(self.cat.abspath(rel), new_seq)
 
-        # merge-on-read aggregates: the merged segments' delta dirs are
-        # replaced by ONE re-derived dir, so the cross-dir sum (term_df)
-        # and distinct-union (vocab) stay exact
-        new_postings.groupBy("term").agg(
-            F.countDistinct("doc_id").alias("df")
-        ).write.mode("overwrite").parquet(fresh("term_df"))
-        union_dirs("vocab").distinct().write.mode("overwrite").parquet(
-            fresh("vocab")
-        )
+        # merge-on-read aggregates, re-derived per output split so every
+        # segmented table keeps exactly one dir per segment: term_df over
+        # a split's postings is exact for that split's (disjoint) docs and
+        # the cross-dir sum stays exact; vocab is term-keyed, so it splits
+        # by TERM hash — the cross-dir distinct-union stays exact
+        split_write(union_dirs("vocab").distinct(), "vocab", key="term")
 
         from information_retrieval_spark.index.pack import pack_postings
 
-        packed_dir = fresh("packed")
-        pack_postings(new_postings, new_doclen, packed_dir)
-        write_segment_seq(packed_dir, new_seq)
-
-        lineage_frame(
-            {
-                "postings_flat": new_postings,
-                "doclen": new_doclen,
-                "packed": spark.read.parquet(packed_dir),
-            }
-        ).write.mode("overwrite").parquet(fresh("lineage"))
+        for j in range(n_out):
+            pf_j = spark.read.parquet(
+                self.cat.abspath(new_rel["postings_flat"][j])
+            )
+            dl_j = spark.read.parquet(
+                self.cat.abspath(new_rel["doclen"][j])
+            )
+            pf_j.groupBy("term").agg(
+                F.countDistinct("doc_id").alias("df")
+            ).write.mode("overwrite").parquet(
+                fresh("term_df", j if n_out > 1 else None)
+            )
+            packed_dir = fresh("packed", j if n_out > 1 else None)
+            pack_postings(pf_j, dl_j, packed_dir)
+            write_segment_seq(packed_dir, new_seq)
+            lineage_frame(
+                {
+                    "postings_flat": pf_j,
+                    "doclen": dl_j,
+                    "packed": spark.read.parquet(packed_dir),
+                }
+            ).write.mode("overwrite").parquet(
+                fresh("lineage", j if n_out > 1 else None)
+            )
 
         # ledger decrement = hidden doc VERSIONS purged (n_del_sub above),
         # keeping n_docs = live docs + hidden versions awaiting purge —
@@ -900,10 +1038,11 @@ class IndexMaintenance:
         stats_dir = fresh("stats")
         os.makedirs(stats_dir, exist_ok=True)
         st.to_parquet(os.path.join(stats_dir, "stats.parquet"))
-        changes["stats"] = ("set", [new_rel["stats"]])
+        changes["stats"] = ("set", new_rel["stats"])
 
-        # splice: keep unmerged dirs in order, new dir at the merged run's
-        # first position (RELATIVE paths — the snapshot stores relatives)
+        # splice: keep unmerged dirs in order, the n_out new dirs at the
+        # merged run's first position (RELATIVE paths — the snapshot
+        # stores relatives)
         keep = set(segs)
         for table in list(self._SEGMENTED_TABLES) + (
             ["doc_meta"] if has_meta else []
@@ -914,7 +1053,7 @@ class IndexMaintenance:
             spliced = []
             for i, rel in enumerate(snap_dirs):
                 if i == segs[0]:
-                    spliced.append(new_rel[table])
+                    spliced.extend(new_rel[table])
                 if i not in keep:
                     spliced.append(rel)
             changes[table] = ("set", spliced)
@@ -950,7 +1089,7 @@ class IndexMaintenance:
                         fresh("deleted_docs")
                     )
                     changes["deleted_docs"] = (
-                        "set", [new_rel["deleted_docs"]]
+                        "set", new_rel["deleted_docs"]
                     )
                 else:
                     changes["deleted_docs"] = ("drop", None)
@@ -963,8 +1102,9 @@ class IndexMaintenance:
                 "n_removed": n_del_sub,
                 "segments_merged": segs,
                 "partial": True,
+                "n_outputs": n_out,
                 "n_segments_before": n_seg,
-                "n_segments_after": n_seg - len(segs) + 1,
+                "n_segments_after": n_seg - len(segs) + n_out,
             },
         )
 

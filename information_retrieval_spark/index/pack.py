@@ -49,6 +49,11 @@ from information_retrieval_spark.index.codec import varint_encode_offsets
 
 BLOCK = 128
 
+#: pa.binary()'s int32 offset ceiling — _pack_batch_arrow chunks any
+#: batch whose varint payload would exceed this (tests shrink it to
+#: exercise the chunker without allocating 2 GiB)
+MAX_BINARY_PAYLOAD = int(np.iinfo(np.int32).max)
+
 PACKED_SCHEMA = T.StructType(
     [
         T.StructField("term", T.StringType(), False),
@@ -177,20 +182,34 @@ def _key_change_arrow(tb) -> np.ndarray:
 
 
 def _binary_from_offsets(buf: bytes, offs: np.ndarray):
-    """BinaryArray of len(offs)-1 values sliced zero-copy out of one
-    contiguous buffer at the given int64 byte offsets."""
+    """Binary array of len(offs)-1 values sliced zero-copy out of one
+    contiguous buffer at the given int64 byte offsets.
+
+    pa.binary() carries int32 offsets, so a payload past 2^31 bytes falls
+    back to pa.large_binary() (int64 offsets) — loudly, via a warning:
+    inside the packer pipeline `_pack_batch_arrow` chunks batches at
+    block boundaries BEFORE this point, so reaching the fallback there
+    would mean the chunker is broken; for direct callers it simply keeps
+    working instead of corrupting offsets by a silent int32 wrap."""
     import pyarrow as pa
 
-    # pa.binary() carries int32 offsets: one Arrow batch's varint payload
-    # must stay under 2^31 bytes or the cast below would silently wrap and
-    # corrupt the packed blocks. A batch is a (term, section, bucket)-local
-    # slice (head terms are bucket-split upstream), so hitting this means
-    # the bucket splitter is broken — fail loudly.
     if len(offs) and int(offs[-1]) > np.iinfo(np.int32).max:
-        raise ValueError(
-            f"packed varint payload {int(offs[-1])} bytes exceeds the "
-            "int32 BinaryArray offset range; shrink maxRecordsPerBatch or "
-            "lower the head-term bucket size (index/build.py)"
+        import warnings
+
+        warnings.warn(
+            f"packed varint payload {int(offs[-1])} bytes exceeds the"
+            " int32 BinaryArray offset range — emitting large_binary"
+            " (int64 offsets). Inside pack_postings this indicates the"
+            " batch chunker failed; check maxRecordsPerBatch and the"
+            " head-term bucket size (index/build.py).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return pa.Array.from_buffers(
+            pa.large_binary(),
+            len(offs) - 1,
+            [None, pa.py_buffer(offs.astype(np.int64).tobytes()),
+             pa.py_buffer(buf)],
         )
     return pa.Array.from_buffers(
         pa.binary(),
@@ -200,10 +219,12 @@ def _binary_from_offsets(buf: bytes, offs: np.ndarray):
 
 
 def _pack_batch_arrow(tb, change: np.ndarray | None = None):
-    """Sorted (term, section, bucket, doc_id) Arrow rows → packed block
-    RecordBatch. Same block layout and bytes as ``_pack_frame`` (the varint
-    slices are byte-identical), but no pandas conversion: numeric columns
-    come out as zero-copy numpy views, key columns stay Arrow."""
+    """Sorted (term, section, bucket, doc_id) Arrow rows → LIST of packed
+    block RecordBatches (one in the common case; several when the varint
+    payload would overflow pa.binary()'s int32 offsets — chunked at block
+    boundaries, byte-identical when re-concatenated). Same block layout
+    and bytes as ``_pack_frame``, but no pandas conversion: numeric
+    columns come out as zero-copy numpy views, key columns stay Arrow."""
     import pyarrow as pa
 
     n = tb.num_rows
@@ -230,24 +251,69 @@ def _pack_batch_arrow(tb, change: np.ndarray | None = None):
     # concatenation of its block slices: the per-block binary column is the
     # buffer itself plus offsets at block boundaries — zero copies
     bounds = np.append(bstarts, n)
-    take = pa.array(bstarts)
-    return pa.RecordBatch.from_arrays(
-        [
-            tb.column("term").combine_chunks().take(take),
-            tb.column("section").combine_chunks().take(take),
-            tb.column("bucket").combine_chunks().take(take),
-            pa.array((gidx[bstarts] // BLOCK).astype(np.int32)),
-            pa.array((bends - bstarts).astype(np.int32)),
-            pa.array(docs[bstarts].view(np.int64)),
-            pa.array(docs[bends - 1].view(np.int64)),
-            _binary_from_offsets(docs_buf, d_off[bounds]),
-            _binary_from_offsets(tfs_buf, t_off[bounds]),
-            _binary_from_offsets(dls_buf, l_off[bounds]),
-            pa.array(np.maximum.reduceat(tfs, bstarts).astype(np.int32)),
-            pa.array(np.minimum.reduceat(dls, bstarts).astype(np.int32)),
-        ],
-        names=[f.name for f in PACKED_SCHEMA.fields],
-    )
+
+    def emit(lo: int, hi: int, d_o, t_o, l_o) -> "pa.RecordBatch":
+        """One RecordBatch over block rows [lo, hi) with the given
+        (already chunk-rebased) per-column offset arrays."""
+        bs, be = bstarts[lo:hi], bends[lo:hi]
+        take = pa.array(bs)
+        return pa.RecordBatch.from_arrays(
+            [
+                tb.column("term").combine_chunks().take(take),
+                tb.column("section").combine_chunks().take(take),
+                tb.column("bucket").combine_chunks().take(take),
+                pa.array((gidx[bs] // BLOCK).astype(np.int32)),
+                pa.array((be - bs).astype(np.int32)),
+                pa.array(docs[bs].view(np.int64)),
+                pa.array(docs[be - 1].view(np.int64)),
+                _binary_from_offsets(
+                    docs_buf[d_off[bounds[lo]]:d_off[bounds[hi]]], d_o
+                ),
+                _binary_from_offsets(
+                    tfs_buf[t_off[bounds[lo]]:t_off[bounds[hi]]], t_o
+                ),
+                _binary_from_offsets(
+                    dls_buf[l_off[bounds[lo]]:l_off[bounds[hi]]], l_o
+                ),
+                pa.array(np.maximum.reduceat(tfs, bstarts)[lo:hi]
+                         .astype(np.int32)),
+                pa.array(np.minimum.reduceat(dls, bstarts)[lo:hi]
+                         .astype(np.int32)),
+            ],
+            names=[f.name for f in PACKED_SCHEMA.fields],
+        )
+
+    i32max = MAX_BINARY_PAYLOAD
+    if max(int(d_off[-1]), int(t_off[-1]), int(l_off[-1])) <= i32max:
+        return [
+            emit(0, len(bstarts), d_off[bounds], t_off[bounds],
+                 l_off[bounds])
+        ]
+    # graceful wide-payload path: the batch's varint payload exceeds the
+    # int32 BinaryArray offset range (pa.binary() in PACKED_SCHEMA), so
+    # CHUNK at block boundaries — every chunk's per-column payload fits
+    # int32, each block stays whole (a block is ≤ BLOCK rows, far below
+    # 2^31 bytes even at 10-byte varints), and the concatenated chunks
+    # are byte-identical to the single-batch output
+    out = []
+    lo = 0
+    nb = len(bstarts)
+    while lo < nb:
+        hi = lo + 1
+        while hi < nb and max(
+            int(d_off[bounds[hi + 1]] - d_off[bounds[lo]]),
+            int(t_off[bounds[hi + 1]] - t_off[bounds[lo]]),
+            int(l_off[bounds[hi + 1]] - l_off[bounds[lo]]),
+        ) <= i32max:
+            hi += 1
+        out.append(emit(
+            lo, hi,
+            d_off[bounds[lo:hi + 1]] - d_off[bounds[lo]],
+            t_off[bounds[lo:hi + 1]] - t_off[bounds[lo]],
+            l_off[bounds[lo:hi + 1]] - l_off[bounds[lo]],
+        ))
+        lo = hi
+    return out
 
 
 def pack_postings(
@@ -335,9 +401,9 @@ def pack_postings(
             split = int(np.flatnonzero(change)[-1])
             carry = tb.slice(split)
             if split:
-                yield _pack_batch_arrow(tb.slice(0, split), change[:split])
+                yield from _pack_batch_arrow(tb.slice(0, split), change[:split])
         if carry is not None and carry.num_rows:
-            yield _pack_batch_arrow(carry)
+            yield from _pack_batch_arrow(carry)
 
     packed = (
         joined.repartitionByRange(n_part, "term", "section", "bucket")

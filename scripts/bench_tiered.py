@@ -107,10 +107,14 @@ def main() -> None:
     h_full = index_content_hash(spark, full_idx)
     assert h_src == h_tier == h_full, (h_src, h_tier, h_full)
 
-    # update economics on the same layout: rewrite 10 docs that live in
-    # the LAST delta segment (the common re-crawl case) — cost must be
-    # ∝ that one segment, not the index (src is mutated, so this runs
-    # after the hash-identity check)
+    # update economics on the same layout (seq-scoped tombstones:
+    # update = tombstone + add, NO segment rewrite — cost must be flat
+    # in where the old rows live). Two cases, same 10-doc batch size:
+    #   delta-resident: docs from the last 1k-doc delta segment
+    #   base-resident:  docs from the N_BASE-doc base segment — the case
+    #   that cost a synchronous base rewrite (≈ full-compact wall) under
+    #   round 4's global tombstones
+    # (src is mutated, so this runs after the hash-identity check)
     src_base_dir = table_dirs(src, "packed")[0]
     upd_lo = N_BASE + (K_ADDS - 1) * N_DELTA
     upd = corpus.filter(
@@ -122,6 +126,15 @@ def main() -> None:
     assert n_upd == 10
     assert table_dirs(src, "packed")[0] == src_base_dir  # base untouched
 
+    upd_b = corpus.filter(F.col("doc_id") < 10).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" recrawled"))
+    )
+    t0 = time.time()
+    n_upd_b = IndexMaintenance(spark, src).update_documents(upd_b)
+    update_base_s = time.time() - t0
+    assert n_upd_b == 10
+    assert table_dirs(src, "packed")[0] == src_base_dir  # base untouched
+
     out = {
         "n_base": N_BASE,
         "n_delta": N_DELTA,
@@ -131,6 +144,7 @@ def main() -> None:
         "full_compact_s": round(full_s, 2),
         "tiered_vs_full": round(tiered_s / full_s, 3),
         "update_10docs_s": round(update_s, 2),
+        "update_10_base_docs_s": round(update_base_s, 2),
         "content_hash_identical": True,
     }
     print(json.dumps(out))
@@ -157,9 +171,18 @@ delta bytes are {delta_share:.1%} of the corpus; postings content hash identical
 across src/tiered/full. At a 10^12-file base the full rewrite is unpayable and
 the tiered path's cost stays ∝ accumulated deltas —
 `IndexMaintenance(auto_compact_mode="tiered")` applies it automatically.
-`update_documents` of 10 docs living in one {N_DELTA:,}-doc delta segment
-(tombstone → purge that segment tiered → re-add): **{out["update_10docs_s"]} s**,
-base untouched — replacement cost ∝ the holding segment, not the index.
+`update_documents` (seq-scoped tombstone + add, NO rewrite of any segment):
+
+| old rows live in | wall (s) | any segment rewritten |
+|---|---|---|
+| the last {N_DELTA:,}-doc delta segment | {out["update_10docs_s"]} | no |
+| the {N_BASE:,}-doc BASE segment | {out["update_10_base_docs_s"]} | no |
+
+Update cost is flat in where the old rows live — the base-resident case,
+which under global tombstones forced a synchronous base rewrite
+(≈ the full-compact wall above, {out["full_compact_s"]} s here and unbounded at
+10^12 files), now costs the same tombstone-commit + delta-add as any other
+update. The physical purge rides the next scheduled compaction.
 """)
     print("appended to BENCH/BASELINE.md")
     shutil.rmtree(work, ignore_errors=True)

@@ -63,6 +63,12 @@ def main() -> None:
                            " that brings the segment count down to N"
                            " (plan_compaction); mutually exclusive with"
                            " --segments")
+    p_cp.add_argument("--target-bytes", type=int, default=None,
+                      help="cap each OUTPUT segment at ~this many packed"
+                           " bytes: the merged rows hash-split by doc_id"
+                           " into ceil(input/cap) sibling segments, so no"
+                           " future rewrite unit exceeds the cap (splits"
+                           " an oversized base)")
 
     sub.add_parser("recover")
 
@@ -115,7 +121,9 @@ def main() -> None:
         if args.segments and args.to_segments is not None:
             raise SystemExit("--segments and --to are mutually exclusive")
         if args.to_segments is not None:
-            segs = maint.plan_compaction(args.to_segments)
+            segs = maint.plan_compaction(
+                args.to_segments, target_bytes=args.target_bytes
+            )
             if segs is None:
                 print(json.dumps({"compacted": False, "reason": "already"
                                   " within bound",
@@ -130,7 +138,7 @@ def main() -> None:
         # compact() returns the committed snapshot version, or None when
         # there was nothing to do (e.g. --segments naming one segment with
         # no delete vector) — report the no-op honestly
-        new_v = maint.compact(segments=segs)
+        new_v = maint.compact(segments=segs, target_bytes=args.target_bytes)
         out = {
             "compacted": new_v is not None,
             "segments": segs,

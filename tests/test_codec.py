@@ -75,3 +75,75 @@ def test_gamma_rejects_zero():
 
     with pytest.raises(ValueError):
         gamma_encode(np.array([0], dtype=np.uint64))
+
+
+# ------------------------------------------------- wide-payload packing
+
+
+def test_binary_from_offsets_large_binary_fallback():
+    """A varint payload past pa.binary()'s int32 offset range must come
+    back as pa.large_binary() (int64 offsets) with a loud warning — not
+    a silent int32 wrap that corrupts the packed blocks. Allocates a
+    real >2^31-byte buffer so the round-trip is genuine."""
+    import warnings
+
+    import pyarrow as pa
+
+    from information_retrieval_spark.index.pack import _binary_from_offsets
+
+    big = 2**31 + 16
+    buf = bytearray(big)
+    buf[0:4] = b"head"
+    buf[big - 4:big] = b"tail"
+    offs = np.array([0, big - 8, big], dtype=np.int64)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        arr = _binary_from_offsets(bytes(buf), offs)
+    assert arr.type == pa.large_binary()
+    assert any("int32" in str(x.message) for x in w)
+    assert len(arr) == 2
+    assert len(arr[0].as_py()) == big - 8
+    assert arr[0].as_py()[:4] == b"head"
+    assert arr[1].as_py() == b"\x00\x00\x00\x00tail"
+    # the int32 path is untouched for normal payloads
+    small = _binary_from_offsets(b"abcdef", np.array([0, 2, 6]))
+    assert small.type == pa.binary()
+    assert small.to_pylist() == [b"ab", b"cdef"]
+
+
+def test_pack_batch_arrow_chunks_wide_payload(monkeypatch):
+    """When a batch's varint payload exceeds the binary-offset ceiling,
+    _pack_batch_arrow splits at BLOCK boundaries: several batches, every
+    binary column still plain pa.binary() (no large_binary reaches
+    Spark), each chunk's payload within the ceiling, and the
+    concatenation byte-identical to the unchunked single batch."""
+    import pyarrow as pa
+
+    import information_retrieval_spark.index.pack as pk
+
+    n = 700  # ~6 blocks of BLOCK=128 across two (term,section) groups
+    tb = pa.table(
+        {
+            "term": ["alpha"] * 400 + ["beta"] * (n - 400),
+            "section": ["content"] * n,
+            "bucket": pa.array([0] * n, type=pa.int32()),
+            "doc_id": pa.array(np.arange(n) * 7, type=pa.int64()),
+            "tf": pa.array(np.arange(n) % 13 + 1, type=pa.int32()),
+            "dl": pa.array(np.arange(n) % 97 + 5, type=pa.int32()),
+        }
+    )
+    want = pk._pack_batch_arrow(tb)
+    assert len(want) == 1  # normal path: one batch
+    single = pa.Table.from_batches(want)
+
+    monkeypatch.setattr(pk, "MAX_BINARY_PAYLOAD", 200)
+    got = pk._pack_batch_arrow(tb)
+    assert len(got) > 1
+    for rb in got:
+        for col in ("docs_bin", "tfs_bin", "dls_bin"):
+            a = rb.column(rb.schema.get_field_index(col))
+            assert a.type == pa.binary()
+            payload = sum(len(v.as_py()) for v in a)
+            assert payload <= 200, (col, payload)
+    chunked = pa.Table.from_batches(got)
+    assert chunked.equals(single)

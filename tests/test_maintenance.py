@@ -1208,6 +1208,103 @@ def test_update_documents_of_absent_ids_degrades_to_add(
     assert _results(SearchEngine(spark, d)) == want
 
 
+def test_size_capped_compact_splits_output(spark, tmp_path_factory):
+    """compact(target_bytes=...) hash-splits the merged output by doc_id
+    into K = ceil(input/cap) sibling segments: every segmented table gets
+    exactly K aligned dirs, the postings content hash is identical to the
+    single-output compact of a byte-identical copy, both engines answer
+    identically, deletes are purged, and a LATER tiered compact still
+    works on the split layout (the one-dir-per-segment invariant held)."""
+    import shutil as sh
+
+    from information_retrieval_spark.index.build import index_content_hash
+    from information_retrieval_spark.index.catalog import table_dirs
+
+    rows = corpus_rows(220)
+    d = str(tmp_path_factory.mktemp("szcap"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:150])
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[150:190]))
+    maint.add_documents(_df(spark, rows[190:220]))
+    maint.remove_documents([rows[0].doc_id, rows[160].doc_id])
+
+    single = str(tmp_path_factory.mktemp("szcap_single")) + "/idx"
+    sh.copytree(d, single)
+
+    total = sum(maint.segment_sizes())
+    cap = total // 3 + 1
+    v = maint.compact(target_bytes=cap)
+    assert v is not None
+    n_out = len(table_dirs(d, "packed"))
+    assert n_out >= 2  # the cap forced a split
+    # alignment: every segmented table has exactly n_out dirs
+    for t in ("postings_flat", "doclen", "packed", "lineage",
+              "term_df", "vocab"):
+        assert len(table_dirs(d, t)) == n_out, t
+    assert table_dirs(d, "deleted_docs") == []  # all tombstones applied
+    # no output segment materially exceeds the cap (hash-split variance
+    # and per-file overhead allowed for)
+    assert max(IndexMaintenance(spark, d).segment_sizes()) <= 2 * cap
+
+    IndexMaintenance(spark, single).compact()
+    assert len(table_dirs(single, "packed")) == 1
+    assert index_content_hash(spark, d) == index_content_hash(spark, single)
+    want = _results(SearchEngine(spark, single))
+    assert _results(SearchEngine(spark, d)) == want
+    assert _results(WandEngine(spark, d)) == want
+
+    # the split layout is an ordinary LSM state: add + tiered-merge on it
+    maint2 = IndexMaintenance(spark, d)
+    maint2.add_documents(_df(spark, corpus_rows(240)[220:240]))
+    plan = maint2.plan_compaction(2)
+    assert plan is not None and len(plan) >= 2
+    maint2.compact(segments=plan)
+    assert len(table_dirs(d, "packed")) <= max(2, n_out)
+    merged = _results(WandEngine(spark, d))
+    assert merged == _results(SearchEngine(spark, d))
+
+
+def test_size_capped_compact_splits_oversized_base(spark, tmp_path_factory):
+    """A fully-compacted single base that exceeds the cap is SPLIT by
+    compact(target_bytes=...) — the operation round 4 lacked (nothing
+    could shrink the worst-case rewrite unit). Answers and n_docs are
+    unchanged; plan_compaction knows a bound below ceil(bytes/cap) is
+    unreachable and still returns a count-reducing plan when one exists."""
+    from information_retrieval_spark.index.catalog import (
+        read_stats_pdf,
+        table_dirs,
+    )
+
+    rows = corpus_rows(180)
+    d = str(tmp_path_factory.mktemp("szbase"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows)
+    )
+    maint = IndexMaintenance(spark, d)
+    maint.compact()  # normalize through the classic path
+    assert len(table_dirs(d, "packed")) == 1
+    want = _results(WandEngine(spark, d))
+
+    base_bytes = maint.segment_sizes()[0]
+    v = maint.compact(target_bytes=base_bytes // 2 + 1)
+    assert v is not None
+    assert len(table_dirs(d, "packed")) == 2
+    assert int(read_stats_pdf(d)["n_docs"].iloc[0]) == 180
+    assert _results(WandEngine(spark, d)) == want
+    assert _results(SearchEngine(spark, d)) == want
+
+    # cap-aware planning: two cap-sized halves re-merge to ceil(2·half /
+    # cap) = 2 outputs — no reduction is possible, so the planner says so
+    sizes = IndexMaintenance(spark, d).segment_sizes()
+    cap = max(sizes) + 1
+    assert maint.plan_compaction(1, target_bytes=cap) is None
+    # with a roomier cap (or none) the same bound plans the full merge
+    assert maint.plan_compaction(1, target_bytes=sum(sizes) + 1) == [0, 1]
+    assert maint.plan_compaction(1) == [0, 1]
+
+
 def test_expire_after_partial_compact_gcs_only_merged_dirs(
     spark, tmp_path_factory
 ):
