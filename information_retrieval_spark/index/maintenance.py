@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -260,6 +261,9 @@ class IndexMaintenance:
         tokenizer = self.config["tokenizer"]
         n_buckets = self.config.get("n_buckets", 8)
         os.makedirs(stage_dir, exist_ok=True)
+        tm: dict[str, float] = {}  # per-step walls → self.last_stage_timings
+        t_all = time.time()
+        t0 = time.time()
 
         def p(sub: str) -> str:
             return os.path.join(stage_dir, sub)
@@ -271,12 +275,16 @@ class IndexMaintenance:
         tf_all = tokenize_postings(delta, sections, tokenizer, n_buckets=n_buckets)
         tf_all.write.mode("overwrite").parquet(p("__tf_all"))
         tf_all = spark.read.parquet(p("__tf_all"))
+        tm["tokenize_tf_all"] = time.time() - t0
+        t0 = time.time()
 
         stop = read_table(spark, self.index_dir, "stopwords").select("term")
-        tf_all.join(F.broadcast(stop), "term", "left_anti").write.mode(
-            "overwrite"
-        ).parquet(p("__nonstop"))
-        nonstop = spark.read.parquet(p("__nonstop"))
+        # NOT materialized: tf_all is already a parquet read-back, so the
+        # two consumers below (the dlmap aggregate and the join's left
+        # side) each re-run only a parquet scan + broadcast anti-join —
+        # cheaper than the extra write+read job round a __nonstop dir
+        # cost, which was ~15% of the 500-doc streaming batch latency
+        nonstop = tf_all.join(F.broadcast(stop), "term", "left_anti")
         # embed the per-doc {section: dl} map on every posting row — same
         # denormalization as the build's postings_flat (build.py
         # s_postings): delta docs are new, so the delta-local map is the
@@ -295,6 +303,8 @@ class IndexMaintenance:
             p("postings_delta")
         )
         tf = spark.read.parquet(p("postings_delta"))
+        tm["stop_filter_postings"] = time.time() - t0
+        t0 = time.time()
 
         # the independent small jobs overlap (same rationale as the
         # concurrent build stages: each is driver scheduling + one tiny
@@ -337,13 +347,14 @@ class IndexMaintenance:
                 p("doc_meta_delta")
             )
 
-        def s_stats():
-            n = delta.count()
-            st = read_stats_pdf(self.index_dir).copy()
-            st["n_docs"] = st["n_docs"] + n
-            os.makedirs(p("stats"), exist_ok=True)
-            st.to_parquet(os.path.join(p("stats"), "stats.parquet"))
-            return n
+        def s_fp():
+            # ONE delta scan yields both the crash-dedup fingerprint and
+            # the row count (the fp string is "count:xorhash") — the old
+            # shape paid a separate delta.count() job for stats AND a
+            # second fp job at marker time; at 500-doc streaming batches
+            # those two tiny jobs were ~30% of the commit-to-queryable
+            # latency (BENCH/BASELINE.md latency decomposition)
+            return self._delta_fp(delta)
 
         def s_pack():
             # the delta's OWN packed segment — pack cost ∝ delta size; the
@@ -352,15 +363,32 @@ class IndexMaintenance:
             # pack is independent of s_doclen and overlaps it fully.
             pack_postings(tf, None, p("packed_delta"))
 
+        def timed(fn):
+            def run():
+                ts = time.time()
+                out = fn()
+                tm[fn.__name__] = time.time() - ts
+                return out
+            return run
+
         with ThreadPoolExecutor(max_workers=6) as ex:
             futs = [
-                ex.submit(fn)
+                ex.submit(timed(fn))
                 for fn in (s_pack, s_doclen, s_vocab, s_term_df, s_doc_meta)
             ]
-            f_stats = ex.submit(s_stats)
+            f_fp = ex.submit(timed(s_fp))
             for f in futs:
                 f.result()
-            n_add = f_stats.result()
+            fp = f_fp.result()
+        n_add = int(fp.split(":")[0])
+        # merged stats ledger: pandas-only (no Spark job) now that the
+        # count rides the fingerprint scan
+        st = read_stats_pdf(self.index_dir).copy()
+        st["n_docs"] = st["n_docs"] + n_add
+        os.makedirs(p("stats"), exist_ok=True)
+        st.to_parquet(os.path.join(p("stats"), "stats.parquet"))
+        tm["parallel_group"] = time.time() - t0
+        t0 = time.time()
         dl = spark.read.parquet(p("doclen_delta"))
 
         # per-partition lineage of the delta's tables (append-only log)
@@ -371,6 +399,7 @@ class IndexMaintenance:
                 "packed": spark.read.parquet(p("packed_delta")),
             }
         ).write.mode("overwrite").parquet(p("lineage_delta"))
+        tm["lineage"] = time.time() - t0
 
         # stamp the doc-row tables with the segment sequence this commit
         # will land as (cat_version + 1; single-writer, and commit_add
@@ -393,7 +422,7 @@ class IndexMaintenance:
                 {
                     "n_add": int(n_add),
                     "seq": seq,
-                    "fp": self._delta_fp(delta),
+                    "fp": fp,  # computed once in the parallel group
                     "token": uuid.uuid4().hex[:12],
                     # which tables this stage produced: commit refuses to
                     # publish if one went missing (e.g. swept by GC while
@@ -410,6 +439,10 @@ class IndexMaintenance:
                 },
                 f,
             )
+        tm["total"] = time.time() - t_all
+        #: last stage_add's per-step walls (bench_streaming latency
+        #: decomposition reads this; overhead is a few time() calls)
+        self.last_stage_timings = tm
         return n_add
 
     def commit_add(self, stage_dir: str, batch_id: int | None = None) -> None:
@@ -428,6 +461,7 @@ class IndexMaintenance:
         run over a frozen uncommitted stage, and this guard is the
         belt-and-braces for anything that bypassed them."""
         assert self.is_staged(stage_dir), "refusing to commit a partial stage"
+        t_commit = time.time()
         info = self._stage_info(stage_dir)
         token = info["token"]
         if self.cat.committed_token(token, since=info.get("cat_version")):
@@ -491,6 +525,9 @@ class IndexMaintenance:
             "add",
             summary,
         )
+        #: metadata-only publish wall (dir renames + one snapshot swap) —
+        #: read next to last_stage_timings by the latency decomposition
+        self.last_commit_s = time.time() - t_commit
 
     # --------------------------------------------------------------- remove
 
