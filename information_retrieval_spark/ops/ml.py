@@ -133,10 +133,21 @@ SELECT doc_id, cls AS pred_lang FROM (
 
 # ---------------------------------------------------------------- k-means
 
-def kmeans_centroids(spark: SparkSession, sf_dir: str):
+def kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k_clusters: int | None = None,
+    iters: int | None = None,
+):
     """(comp, centroids): the exploded component table and the centroid
-    table after KMEANS_ITERS Lloyd iterations (init = vectors of vec_id
-    0..K-1). Shared by q_kmeans and the IVF ANN coarse quantizer."""
+    table after ``iters`` (default KMEANS_ITERS) Lloyd iterations, init =
+    vectors of vec_id 0..K-1. Shared by q_kmeans (at the K_CLUSTERS
+    default, pinned for the DuckDB oracle) and the IVF ANN coarse
+    quantizer, whose production dial is K ≈ √N cells
+    (`similarity.ivf_topk(k_cells=...)`, measured in
+    `scripts/bench_ann_recall.py`)."""
+    k_clusters = K_CLUSTERS if k_clusters is None else int(k_clusters)
+    iters = KMEANS_ITERS if iters is None else int(iters)
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     comp = (
         e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
@@ -144,12 +155,12 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str):
         .localCheckpoint()
     )
     cent = (
-        comp.filter(F.col("vec_id") < K_CLUSTERS)
+        comp.filter(F.col("vec_id") < k_clusters)
         .select(F.col("vec_id").cast("int").alias("k"), "dim", F.col("x").alias("c"))
     )
     from pyspark.sql import Window
 
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         dist = (
             comp.join(F.broadcast(cent), "dim")
             .groupBy("vec_id", "k")

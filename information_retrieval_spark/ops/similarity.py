@@ -394,16 +394,22 @@ def ivf_topk(
     n_query: int = N_QUERY_VECS,
     k: int = TOP_K,
     n_probe: int = N_PROBE,
+    k_cells: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN — the k-means centroids (ops/ml.py, deterministic
     Lloyd) are the coarse quantizer; each query probes its n_probe nearest
     cells and exact-reranks their members by cosine. The candidate join
     keys on the cell id, so per-query work is ~n_probe/K of the corpus;
     larger K shrinks the probe set (the classic IVF recall/cost dial,
-    measured in `scripts/bench_ann_recall.py`)."""
+    measured in `scripts/bench_ann_recall.py`).
+
+    ``k_cells``: coarse-quantizer cell count — None keeps the shared
+    K_CLUSTERS default (tiny, pinned for the DuckDB oracle's exact
+    k-means twin); production sizing is K ≈ √N so probe-1 candidate
+    work is ~N/√N = √N per query (the FAISS IVF rule of thumb)."""
     from information_retrieval_spark.ops.ml import kmeans_assign, kmeans_centroids
 
-    comp, cent = kmeans_centroids(spark, sf_dir)
+    comp, cent = kmeans_centroids(spark, sf_dir, k_clusters=k_cells)
     assign = kmeans_assign(comp, cent)
     e = _emb(spark, sf_dir).join(assign, "vec_id")
     # per-query distance to every centroid → n_probe nearest cells

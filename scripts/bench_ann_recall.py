@@ -60,7 +60,7 @@ def lsh_candidate_count(e, n_query, n_tables, n_bits, multi_probe):
     )
 
 
-def ivf_candidate_count(spark, sf_dir, n_query, n_probe):
+def ivf_candidate_count(spark, sf_dir, n_query, n_probe, k_cells=None):
     from pyspark.sql import Window
 
     from information_retrieval_spark.ops.ml import (
@@ -68,7 +68,7 @@ def ivf_candidate_count(spark, sf_dir, n_query, n_probe):
         kmeans_centroids,
     )
 
-    comp, cent = kmeans_centroids(spark, sf_dir)
+    comp, cent = kmeans_centroids(spark, sf_dir, k_clusters=k_cells)
     assign = kmeans_assign(comp, cent)
     qcomp = comp.filter(F.col("vec_id") < n_query)
     qdist = (
@@ -134,6 +134,18 @@ def run_dir(spark, sf_dir):
         t, got = timed_collect(lambda: S.ivf_topk(spark, sf_dir, N_QUERIES, K, p))
         cf = ivf_candidate_count(spark, sf_dir, N_QUERIES, p) / denom
         rows.append((f"IVF probe={p}", t, recall_at_k(truth, got), cf))
+
+    # production sizing: K ≈ √N cells — probe-1 candidate work ~√N/query
+    # (the oracle entry keeps the tiny shared K; this is the scale dial)
+    k_cells = max(8, int(round(n ** 0.5)))
+    for p in (1, 2):
+        t, got = timed_collect(
+            lambda: S.ivf_topk(spark, sf_dir, N_QUERIES, K, p, k_cells=k_cells)
+        )
+        cf = ivf_candidate_count(spark, sf_dir, N_QUERIES, p, k_cells) / denom
+        rows.append(
+            (f"IVF K=√N={k_cells} probe={p}", t, recall_at_k(truth, got), cf)
+        )
 
     e.unpersist()
     return n, rows
