@@ -186,3 +186,48 @@ def test_streaming_ingest_auto_compacts_tiered(spark, tmp_path):
     assert _results(WandEngine(spark, idx)) == _results(
         SearchEngine(spark, fresh)
     )
+
+
+def test_streaming_readd_of_removed_id_resurrects(spark, tmp_path):
+    """ADVICE r4 (streaming/ingest.py): a streamed batch that re-adds a
+    REMOVED doc_id must make the new content live — under round 4's global
+    delete vector the commit would land rows the vector silently hid (the
+    'wrong index instead of obviously broken' hazard). Seq-scoped
+    tombstones close it structurally: the streamed segment's _SEQ exceeds
+    the tombstone's upto, so no add-time guard is needed on any path.
+    Pinned end-to-end here: remove → stream a batch re-adding the id with
+    NEW content → both engines answer exactly like a fresh build over
+    (survivors + new content)."""
+    from information_retrieval_spark.index.maintenance import IndexMaintenance
+
+    rows = corpus_rows(120)
+    watch = tmp_path / "incoming"
+    watch.mkdir()
+    idx = str(tmp_path / "idx")
+    cp = str(tmp_path / "cp")
+    IndexBuilder(spark, idx, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:100])
+    )
+    stop = [
+        r.term
+        for r in spark.read.parquet(f"{idx}/stopwords").orderBy("rank").collect()
+    ]
+
+    IndexMaintenance(spark, idx).remove_documents([7])
+    import dataclasses
+
+    readded = dataclasses.replace(
+        rows[7],
+        content="tokenizer stream resurrected via streaming " + rows[7].content,
+    )
+    _write_rows(str(watch / "p0.parquet"), [readded] + list(rows[100:120]))
+    run_incremental_indexing(spark, idx, str(watch), cp)
+
+    fresh = str(tmp_path / "fresh")
+    IndexBuilder(
+        spark, fresh, SECTIONS, tokenizer="code", stop_k=10, stop_terms=stop
+    ).build(_df(spark, [r for r in rows[:100] if r.doc_id != 7]
+                + [readded] + list(rows[100:120])))
+    want = _results(SearchEngine(spark, fresh))
+    assert _results(SearchEngine(spark, idx)) == want
+    assert _results(WandEngine(spark, idx)) == want
