@@ -27,6 +27,13 @@ N_REC_USERS = 8  # user_id < 8 get recommendations
 LIKE_MOD = 17
 DIM = 64
 
+#: loud ceiling for the EXACT all-pairs kNN (O(U²) — a verification
+#: baseline, not a production path). Above this many users the call
+#: raises and points at the LSH path instead of silently launching a
+#: quadratic self-join; override via IR_EXACT_KNN_MAX_USERS for
+#: deliberate large baselines.
+EXACT_KNN_MAX_USERS = 50_000
+
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -49,8 +56,22 @@ def q_user_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, rank, neighbor_id, sim_r): top-5 cosine neighbors over the
     user × event_type count matrix — EXACT all-pairs path, the small-N
     baseline (O(U²): fine for thousands of users, wrong at 10⁸ — that's
-    ``q_user_knn_lsh``)."""
+    ``q_user_knn_lsh``). Guarded: a capped probe (``limit(cap+1)``, never
+    a full count) raises above ``EXACT_KNN_MAX_USERS`` so the quadratic
+    join is unreachable by accident at scale."""
+    import os
+
     m = _user_matrix(spark, sf_dir)
+    cap = int(
+        os.environ.get("IR_EXACT_KNN_MAX_USERS", EXACT_KNN_MAX_USERS)
+    )
+    if m.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"user_knn is the EXACT O(U²) verification baseline and the "
+            f"user matrix exceeds {cap} rows — use q_user_knn_lsh (SRP-"
+            f"bucketed) at this scale, or raise IR_EXACT_KNN_MAX_USERS "
+            f"to force the all-pairs join deliberately"
+        )
     cs = [f"c{i}" for i in range(len(EVENT_TYPES))]
     a, b = m.alias("a"), m.alias("b")
     dot = sum(F.col(f"a.{c}") * F.col(f"b.{c}") for c in cs)

@@ -586,3 +586,20 @@ def test_multimodal_jpeg_rows_decode_end_to_end(spark):
         seen_markers.add(bytes(r.payload)[20:22])
     # the fixture exercises BOTH frame types
     assert seen_markers == {b"\xff\xc0", b"\xff\xc2"}
+
+
+def test_user_knn_exact_guard(spark, monkeypatch):
+    """The exact O(U²) path must be unreachable by accident at scale: with
+    the cap forced below sf0.001's user count it raises and names the LSH
+    path; at the default cap it still runs (the battery contract)."""
+    from information_retrieval_spark.ops import recsys
+
+    monkeypatch.setenv("IR_EXACT_KNN_MAX_USERS", "3")
+    try:
+        recsys.q_user_knn(spark, SF)
+    except ValueError as e:
+        assert "user_knn_lsh" in str(e)
+    else:
+        raise AssertionError("guard did not trip at cap=3")
+    monkeypatch.delenv("IR_EXACT_KNN_MAX_USERS")
+    assert recsys.q_user_knn(spark, SF).limit(1).count() == 1
