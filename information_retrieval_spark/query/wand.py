@@ -394,7 +394,17 @@ def _wand_query(
 
 
 class WandEngine:
-    """BM25 top-k via block-max WAND over ``<index_dir>/packed``."""
+    """BM25 top-k via block-max WAND over ``<index_dir>/packed``.
+
+    Concurrency: a ``SparkSession`` is thread-safe, an engine's CACHE
+    handoff is not — ``search()`` swaps the previous batch's persisted
+    shard out without a lock, so two threads sharing one engine would
+    evict each other's shard mid-batch (correct but recompute-taxed).
+    For concurrent serving hold ONE ENGINE PER WORKER THREAD over the
+    same index_dir and ``close()`` each when done (per-engine executor
+    storage is the doclen map + one query-term shard, both small);
+    measured throughput for that model: BENCH/BASELINE.md "Concurrent
+    query throughput" (`scripts/bench_qps.py`)."""
 
     def __init__(
         self,

@@ -1,0 +1,189 @@
+"""Concurrent query throughput: QPS and batch latency vs worker count.
+
+A retrieval index is a SERVING system — per-round bench.py prices one
+batch at a time, but a production deployment answers many concurrent
+query batches against one index. This bench runs a fixed work list of
+query batches through T worker threads (T = 1, 2, 4, 8), each holding
+its OWN WandEngine over the same index snapshot (the engine's shard
+cache is per-engine; see WandEngine's concurrency note), sharing one
+SparkSession — the local[32] stand-in for a fixed-pool query service in
+front of a cluster. Reports per T: wall, QPS, per-batch p50/p95, and
+scaling efficiency vs T=1. Also prices the COLD OPEN (engine construct
++ first batch on a fresh engine) vs a warm batch — the snapshot-load
+constant a server pays once per index version, not per query.
+
+Expectation: one 5-query batch does not saturate 32 cores for its whole
+wall (driver-side WAND setup, stats pre-pass barriers), so QPS should
+rise toward T=4-8 before scheduler contention flattens it. A FLAT curve
+would mean per-batch latency is all cluster-side — also fine at scale —
+but a rising curve is the evidence that a pooled server extracts more
+of the cluster without re-sharding.
+
+Usage: python scripts/bench_qps.py   [QPS_DOCS=100000 QPS_BATCHES=24]
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import shutil
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(os.environ.get("QPS_DOCS", "100000"))
+N_BATCHES = int(os.environ.get("QPS_BATCHES", "24"))
+BATCH_Q = int(os.environ.get("QPS_BATCH_QUERIES", "5"))
+THREADS = [int(t) for t in os.environ.get("QPS_THREADS", "1 2 4 8").split()]
+INDEX = f"/tmp/ir_qps_idx_{N_DOCS}"
+CORPUS = f"/tmp/ir_scaling_corpus_{N_DOCS}.parquet"  # shared w/ bench_scaling
+
+
+def pctl(xs: list[float], p: float) -> float:
+    xs = sorted(xs)
+    return xs[min(len(xs) - 1, int(p * len(xs)))]
+
+
+def main() -> None:
+    from information_retrieval_spark.fixtures import (
+        make_queries,
+        write_corpus_parquet,
+    )
+    from information_retrieval_spark.index.build import IndexBuilder
+    from information_retrieval_spark.query.engine import QuerySpec
+    from information_retrieval_spark.query.wand import WandEngine
+    from information_retrieval_spark.session import get_spark
+
+    if not os.path.exists(CORPUS):
+        write_corpus_parquet(CORPUS, N_DOCS)
+    spark = get_spark("bench_qps", master="local[32]", shuffle_partitions=32)
+    if not os.path.exists(os.path.join(INDEX, "manifest.json")):
+        shutil.rmtree(INDEX, ignore_errors=True)
+        IndexBuilder(
+            spark, INDEX, {"title": "path", "abstract": "content"},
+            tokenizer="code", n_buckets=32,
+        ).build(spark.read.parquet(CORPUS))
+
+    # the work list: N_BATCHES batches of BATCH_Q distinct reference
+    # queries, round-robined so every T sees the identical workload
+    qs = make_queries(50)
+    # batch b = queries [b*Q .. b*Q+Q) mod 50 — deterministic round-robin
+    batches = [
+        [
+            QuerySpec(
+                qs[(b * BATCH_Q + j) % len(qs)].query_id,
+                qs[(b * BATCH_Q + j) % len(qs)].query_text,
+                "okapi25", 10, spell=False, match_mode="exact",
+            )
+            for j in range(BATCH_Q)
+        ]
+        for b in range(N_BATCHES)
+    ]
+
+    # ---- cold open: fresh engine, construct + first batch ----------------
+    t0 = time.time()
+    eng = WandEngine(spark, INDEX)
+    construct_s = time.time() - t0
+    t0 = time.time()
+    eng.search(batches[0]).collect()
+    first_s = time.time() - t0
+    t0 = time.time()
+    eng.search(batches[0]).collect()
+    warm_s = time.time() - t0
+    eng.close()
+    print(f"cold open: construct {construct_s:.2f}s + first batch "
+          f"{first_s:.2f}s; same batch warm {warm_s:.2f}s")
+
+    results = []
+    baseline_rows = None
+    for t_n in THREADS:
+        work: "queue.Queue[list]" = queue.Queue()
+        for b in batches:
+            work.put(b)
+        lat: list[float] = []
+        lat_lock = threading.Lock()
+        collected: list = []
+        errors: list[BaseException] = []
+
+        def worker():
+            eng = WandEngine(spark, INDEX)
+            try:
+                eng.search(batches[0]).collect()  # warm this engine
+                while True:
+                    try:
+                        b = work.get_nowait()
+                    except queue.Empty:
+                        return
+                    t0 = time.time()
+                    rows = eng.search(b).collect()
+                    dt = time.time() - t0
+                    with lat_lock:
+                        lat.append(dt)
+                        collected.append(
+                            sorted((r["query_id"], r["rank"], r["doc_id"])
+                                   for r in rows)
+                        )
+            except BaseException as e:  # surface thread failures loudly
+                with lat_lock:
+                    errors.append(e)
+            finally:
+                eng.close()
+
+        threads = [threading.Thread(target=worker) for _ in range(t_n)]
+        t0 = time.time()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        wall = time.time() - t0
+        if errors:
+            raise errors[0]
+        n_q = N_BATCHES * BATCH_Q
+        row_sig = sorted(map(tuple, (tuple(map(tuple, c)) for c in collected)))
+        if baseline_rows is None:
+            baseline_rows = row_sig
+        else:
+            assert row_sig == baseline_rows, (
+                f"T={t_n} returned different result rows than T=1"
+            )
+        results.append((t_n, wall, n_q / wall, pctl(lat, 0.5),
+                        pctl(lat, 0.95)))
+        print(f"T={t_n}: wall {wall:.2f}s  {n_q / wall:.2f} q/s  "
+              f"batch p50 {pctl(lat, 0.5):.2f}s p95 {pctl(lat, 0.95):.2f}s")
+
+    base_qps = results[0][2]
+    lines = [
+        "",
+        f"### Concurrent query throughput ({time.strftime('%Y-%m-%d %H:%MZ', time.gmtime())}, "
+        f"`scripts/bench_qps.py`, {N_DOCS:,} docs, {N_BATCHES} batches × "
+        f"{BATCH_Q} queries, exact-mode WAND, one engine per worker, "
+        "local[32])",
+        "",
+        f"Cold open: engine construct {construct_s:.2f}s + first batch "
+        f"{first_s:.2f}s (same batch warm {warm_s:.2f}s) — paid once per "
+        "index snapshot, not per query.",
+        "",
+        "| workers | wall s | QPS | ×T=1 | batch p50 s | batch p95 s |",
+        "|---|---|---|---|---|---|",
+    ]
+    for t_n, wall, qps, p50, p95 in results:
+        lines.append(
+            f"| {t_n} | {wall:.2f} | {qps:.2f} | {qps / base_qps:.2f}× | "
+            f"{p50:.2f} | {p95:.2f} |"
+        )
+    lines.append("")
+    out = "\n".join(lines)
+    print(out)
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH", "BASELINE.md"),
+        "a",
+    ) as f:
+        f.write(out + "\n")
+    print("appended to BENCH/BASELINE.md")
+
+
+if __name__ == "__main__":
+    main()
