@@ -37,6 +37,10 @@ N_DOCS = int(os.environ.get("QPS_DOCS", "100000"))
 N_BATCHES = int(os.environ.get("QPS_BATCHES", "24"))
 BATCH_Q = int(os.environ.get("QPS_BATCH_QUERIES", "5"))
 THREADS = [int(t) for t in os.environ.get("QPS_THREADS", "1 2 4 8").split()]
+#: FIFO (Spark default) or FAIR — FAIR + one pool per worker gives each
+#: concurrent batch an equal share of task slots instead of queueing
+#: whole jobs, the standard multi-tenant serving config
+SCHEDULER = os.environ.get("QPS_SCHEDULER", "FIFO").upper()
 INDEX = f"/tmp/ir_qps_idx_{N_DOCS}"
 CORPUS = f"/tmp/ir_scaling_corpus_{N_DOCS}.parquet"  # shared w/ bench_scaling
 
@@ -58,7 +62,12 @@ def main() -> None:
 
     if not os.path.exists(CORPUS):
         write_corpus_parquet(CORPUS, N_DOCS)
-    spark = get_spark("bench_qps", master="local[32]", shuffle_partitions=32)
+    spark = get_spark(
+        "bench_qps", master="local[32]", shuffle_partitions=32,
+        extra_conf=(
+            {"spark.scheduler.mode": "FAIR"} if SCHEDULER == "FAIR" else None
+        ),
+    )
     if not os.path.exists(os.path.join(INDEX, "manifest.json")):
         shutil.rmtree(INDEX, ignore_errors=True)
         IndexBuilder(
@@ -108,6 +117,12 @@ def main() -> None:
         errors: list[BaseException] = []
 
         def worker():
+            if SCHEDULER == "FAIR":
+                # distinct pool per worker → fair task-slot sharing
+                # ACROSS concurrent batches (pools are created on demand)
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", threading.current_thread().name
+                )
             eng = WandEngine(spark, INDEX)
             try:
                 eng.search(batches[0]).collect()  # warm this engine
@@ -159,13 +174,14 @@ def main() -> None:
         f"### Concurrent query throughput ({time.strftime('%Y-%m-%d %H:%MZ', time.gmtime())}, "
         f"`scripts/bench_qps.py`, {N_DOCS:,} docs, {N_BATCHES} batches × "
         f"{BATCH_Q} queries, exact-mode WAND, one engine per worker, "
-        "local[32])",
+        f"{SCHEDULER} scheduler, local[32])",
         "",
         f"Cold open: engine construct {construct_s:.2f}s + first batch "
         f"{first_s:.2f}s (same batch warm {warm_s:.2f}s) — paid once per "
         "index snapshot, not per query.",
         "",
-        "| workers | wall s | QPS | ×T=1 | batch p50 s | batch p95 s |",
+        f"| workers | wall s | QPS | ×T={results[0][0]} | batch p50 s "
+        "| batch p95 s |",
         "|---|---|---|---|---|---|",
     ]
     for t_n, wall, qps, p50, p95 in results:
