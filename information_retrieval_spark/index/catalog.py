@@ -258,7 +258,16 @@ class Catalog:
         directories no kept snapshot references. Legacy in-place table dirs
         (not under ``data/``) are also eligible once unreferenced — e.g.
         the original ``packed`` after a compact rewrote it. Returns the
-        deleted paths."""
+        deleted paths.
+
+        Retention contract for long-running readers: an engine resolves
+        its snapshot's dirs at construction, so ``keep_last`` must exceed
+        the oldest live reader's age in snapshots. A reader that outlives
+        retention fails LOUDLY at its next query (missing parquet inputs
+        — pinned by `tests/test_maintenance.py::
+        test_live_reader_on_expired_snapshot_fails_loudly`), the same
+        contract Iceberg documents for expire_snapshots vs in-flight
+        scans."""
         vs = self.versions()
         if len(vs) <= keep_last:
             return []

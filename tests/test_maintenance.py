@@ -363,6 +363,45 @@ def test_expire_snapshots_gc(spark, tmp_path_factory):
         SearchEngine(spark, d, version=1)
 
 
+def test_live_reader_on_expired_snapshot_fails_loudly(
+    spark, tmp_path_factory
+):
+    """The GC retention contract for LONG-RUNNING readers: an engine holds
+    the data dirs its snapshot resolved at construction, so `expire` must
+    keep enough history (`keep_last` > the oldest live reader's age in
+    snapshots) — a reader that outlives retention must FAIL LOUDLY at its
+    next query (missing parquet inputs), never return silently wrong or
+    empty results, while a reader re-opened on the current snapshot is
+    unaffected. This is the same contract Iceberg documents for
+    `expire_snapshots` vs in-flight scans."""
+    import pytest as _pytest
+
+    rows = corpus_rows(150)
+    d = str(tmp_path_factory.mktemp("gcreader"))
+    IndexBuilder(spark, d, SECTIONS, tokenizer="code", stop_k=10).build(
+        _df(spark, rows[:120])
+    )
+    # live readers pinned to the original snapshot's dirs
+    old_se = SearchEngine(spark, d)
+    old_we = WandEngine(spark, d)
+    assert _results(old_se)  # both answer before the GC
+
+    maint = IndexMaintenance(spark, d)
+    maint.add_documents(_df(spark, rows[120:150]))
+    maint.compact()  # rewrites postings/packed: v1's dirs now unreferenced
+    assert maint.expire_snapshots(keep_last=1)
+
+    for stale in (old_se, old_we):
+        with _pytest.raises(Exception) as exc:
+            stale.search(QUERIES).collect()
+        # loud I/O/planning failure, not an empty result
+        assert exc.type is not AssertionError
+    old_we.close()
+    fresh = SearchEngine(spark, d)
+    assert _results(fresh) == _results(WandEngine(spark, d))
+    assert len(_results(fresh)) > 0
+
+
 def test_rebuild_in_place_over_maintained_index(spark, tmp_path_factory):
     """An in-place rebuild over a catalogued, previously-maintained index
     must reset the snapshot to the fresh tables — stale LSM segments and
