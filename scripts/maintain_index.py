@@ -22,6 +22,10 @@ Commands:
   recover                        finish the commit of crashed (frozen) stages
   expire [--keep-last N]         drop old snapshots + GC data dirs
   history                        print the snapshot chain as JSON lines
+  fsck                           integrity report (metadata-only, no Spark):
+                                 missing dirs, seq order, delete-vector
+                                 sanity, orphan bytes, frozen stages;
+                                 exit 1 on errors
 
 Sandbox: python scripts/maintain_index.py --index-dir /tmp/idx history
 """
@@ -76,10 +80,19 @@ def main() -> None:
     p_exp.add_argument("--keep-last", type=int, default=2)
 
     sub.add_parser("history")
+    sub.add_parser("fsck")
 
     args = ap.parse_args()
 
     from information_retrieval_spark.index.catalog import Catalog
+
+    if args.command == "fsck":
+        # metadata-only, like history: runnable without a Spark session
+        from information_retrieval_spark.index.fsck import fsck
+
+        report = fsck(args.index_dir)
+        print(json.dumps(report, sort_keys=True))
+        raise SystemExit(0 if report["ok"] else 1)
 
     if args.command == "history":
         # metadata-only: no Spark session needed. Fail loudly on a missing
