@@ -26,6 +26,9 @@ Commands:
                                  missing dirs, seq order, delete-vector
                                  sanity, orphan bytes, frozen stages;
                                  exit 1 on errors
+  sweep                          delete orphan data dirs + crashed-commit
+                                 snapshot files fsck reported (run it
+                                 writer-idle)
 
 Sandbox: python scripts/maintain_index.py --index-dir /tmp/idx history
 """
@@ -81,6 +84,7 @@ def main() -> None:
 
     sub.add_parser("history")
     sub.add_parser("fsck")
+    sub.add_parser("sweep")
 
     args = ap.parse_args()
 
@@ -93,6 +97,18 @@ def main() -> None:
         report = fsck(args.index_dir)
         print(json.dumps(report, sort_keys=True))
         raise SystemExit(0 if report["ok"] else 1)
+
+    if args.command == "sweep":
+        # fsck's repair verb for orphan debris; metadata-only. Only safe
+        # writer-idle (single-writer schedule is the operator's contract).
+        if not Catalog.exists(args.index_dir):
+            print(f"no snapshot catalog under {args.index_dir!r}",
+                  file=sys.stderr)
+            raise SystemExit(2)
+        print(json.dumps(
+            {"swept": Catalog(args.index_dir).sweep_orphans()}
+        ))
+        return
 
     if args.command == "history":
         # metadata-only: no Spark session needed. Fail loudly on a missing

@@ -971,6 +971,12 @@ def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
         want = _results(SearchEngine(spark, fresh))
         assert _results(SearchEngine(spark, d)) == want, f"step {step}"
         assert _results(WandEngine(spark, d)) == want, f"step {step}"
+        # fsck is an invariant of the whole algebra: every reachable
+        # catalog state is internally consistent and debris-free
+        from information_retrieval_spark.index.fsck import fsck
+
+        rep = fsck(d)
+        assert rep["ok"] and rep["warnings"] == [], f"step {step}: {rep}"
 
     for step in range(10):
         ops = ["remove", "tiered", "full", "update"] + (
