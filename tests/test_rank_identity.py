@@ -77,3 +77,82 @@ def test_repeated_term_multiplicity(engine, oracle):
     got = run_batch(engine, [spec]).get(902, [])
     exp = oracle.search(q, "okapi25", weight=0.2, k=10)
     assert_identical(got, exp, 902, q)
+
+
+def test_zipf_corpus_rank_identity(spark, tmp_path_factory):
+    """Rank/score identity on the REALISTIC Zipf-vocabulary corpus
+    (fixtures.zipf_vocab: Zipf(s≈1) term ranks, natural word lengths) —
+    the ranking analogue of the round-5 Zipf grep re-measurement: the
+    uniform fixture puts every content term at similar df, so this is
+    the profile where idf spreads, head terms hit the stop list, and
+    prefix expansion fans out for real. Exact + prefix modes, okapi25
+    on both engines and ltn-lnn on SearchEngine, vs the pure-Python
+    oracle."""
+    from information_retrieval_spark.fixtures import (
+        zipf_document_text,
+        zipf_vocab,
+    )
+    from information_retrieval_spark.index.build import IndexBuilder
+    from information_retrieval_spark.query.wand import WandEngine
+    from tests.oracle import Oracle
+
+    vocab = zipf_vocab(5000)
+    n = 2000
+    texts = {i: zipf_document_text(i, vocab) for i in range(n)}
+    orc = Oracle(
+        {i: {"content": t} for i, t in texts.items()},
+        sections=("content",), tokenizer="code", stop_k=10,
+    )
+    idx = str(tmp_path_factory.mktemp("zipfidx"))
+    IndexBuilder(
+        spark, idx, {"content": "text"}, tokenizer="code", stop_k=10
+    ).build(
+        spark.createDataFrame(
+            [(i, t) for i, t in texts.items()], "doc_id long, text string"
+        )
+    )
+    # same stop list derived from the same corpus
+    stop_rows = spark.read.parquet(f"{idx}/stopwords").collect()
+    assert {r.term for r in stop_rows} == orc.stop_tokens
+
+    sw = {"content": 1.0}
+    queries = [
+        vocab[0],                          # head rank — stop-listed
+        vocab[15],                         # just past the stop list
+        f"{vocab[30]} {vocab[200]}",       # mid-rank pair
+        f"{vocab[3]} {vocab[1500]}",       # stop + tail mix
+        f"{vocab[4000]} {vocab[4999]}",    # deep tail (df ~ 1)
+        f"{vocab[50]} {vocab[50]} {vocab[700]}",  # repeated-term quirk Q3
+        "zzznotfound",                     # absent
+    ]
+    eng = SearchEngine(spark, idx)
+    wand = WandEngine(spark, idx)
+    try:
+        for mode in ("exact", "prefix"):
+            specs = [
+                QuerySpec(i, q, "okapi25", 10, section_weights=sw,
+                          spell=False, match_mode=mode)
+                for i, q in enumerate(queries)
+            ]
+            for engine_obj in (eng, wand):
+                by_q = run_batch(engine_obj, specs)
+                for i, q in enumerate(queries):
+                    exp = orc.search(q, "okapi25", k=10, spell=False,
+                                     match_mode=mode, section_weights=sw)
+                    assert_identical(
+                        by_q.get(i, []), exp, i,
+                        f"{q} [{mode}/{type(engine_obj).__name__}]",
+                    )
+        # tf-idf path on the exhaustive engine
+        specs = [
+            QuerySpec(i, q, "ltn-lnn", 10, section_weights=sw,
+                      spell=False, match_mode="exact")
+            for i, q in enumerate(queries)
+        ]
+        by_q = run_batch(eng, specs)
+        for i, q in enumerate(queries):
+            exp = orc.search(q, "ltn-lnn", k=10, spell=False,
+                             match_mode="exact", section_weights=sw)
+            assert_identical(by_q.get(i, []), exp, i, f"{q} [ltn-lnn]")
+    finally:
+        wand.close()
