@@ -92,6 +92,72 @@ def _read_delete_vector(dirs: list[str]) -> tuple[int, int, int, int]:
     return n, max_upto, len(uptos), n_legacy
 
 
+def fsck_deep(spark, index_dir: str, version: int | None = None) -> dict:
+    """`fsck` plus a DATA-integrity pass (needs a SparkSession): for each
+    lineage-covered table (postings_flat / doclen / packed) recompute the
+    partition-invariant aggregates — total rows and the XOR of the
+    per-row content hashes — over the snapshot's physical parquet and
+    compare them to the lineage log's totals (`index/build.lineage_frame`
+    records per-partition (rows, bit_xor(hash)); XOR and SUM are
+    associative, so the log's totals must equal a fresh scan's no matter
+    how partitions moved). A lost or duplicated part file, a bit flip in
+    any hashed column, or a lineage log that missed a commit all flip the
+    comparison. Cost: one scan per table — run it scheduled, not per
+    query."""
+    from pyspark.sql import functions as F
+
+    from information_retrieval_spark.index.build import LINEAGE_SPECS
+
+    report = fsck(index_dir)
+    if not Catalog.exists(index_dir):
+        return report
+    cat = Catalog(index_dir)
+    deep: dict = {}
+    report["deep"] = deep
+    lin_dirs = cat.table_dirs("lineage", version)
+    if not lin_dirs:
+        report["errors"].append("no lineage table in the snapshot")
+        report["ok"] = False
+        return report
+    lin = {
+        r["table"]: (int(r["rows"]), r["xor"])
+        for r in spark.read.parquet(*lin_dirs)
+        .groupBy("table")
+        .agg(
+            F.sum("rows").alias("rows"),
+            F.expr("bit_xor(content_hash)").alias("xor"),
+        )
+        .collect()
+    }
+    for table, hexpr in LINEAGE_SPECS.items():
+        dirs = cat.table_dirs(table, version)
+        if not dirs:
+            continue
+        row = (
+            spark.read.parquet(*dirs)
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.expr(f"bit_xor({hexpr})").alias("xor"),
+            )
+            .collect()[0]
+        )
+        got = (int(row["rows"]), row["xor"])
+        want = lin.get(table, (0, None))
+        deep[table] = {
+            "rows_physical": got[0], "rows_lineage": want[0],
+            "hash_physical": got[1], "hash_lineage": want[1],
+            "match": got == want,
+        }
+        if got != want:
+            report["errors"].append(
+                f"deep: {table} physical rows/hash {got} != lineage log "
+                f"{want} — lost/duplicated part file, bit flip, or a "
+                "commit missing from the lineage log"
+            )
+    report["ok"] = not report["errors"]
+    return report
+
+
 def fsck(index_dir: str) -> dict:
     """Integrity report for ``index_dir`` (see module docstring).
     ``result["ok"]`` is True iff ``errors`` is empty."""

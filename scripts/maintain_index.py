@@ -22,10 +22,12 @@ Commands:
   recover                        finish the commit of crashed (frozen) stages
   expire [--keep-last N]         drop old snapshots + GC data dirs
   history                        print the snapshot chain as JSON lines
-  fsck                           integrity report (metadata-only, no Spark):
+  fsck [--deep]                  integrity report (metadata-only, no Spark):
                                  missing dirs, seq order, delete-vector
                                  sanity, orphan bytes, frozen stages;
-                                 exit 1 on errors
+                                 --deep also rescans each table and
+                                 compares rows + content-hash XOR to the
+                                 lineage log; exit 1 on errors
   sweep                          delete orphan data dirs + crashed-commit
                                  snapshot files fsck reported (run it
                                  writer-idle)
@@ -83,7 +85,13 @@ def main() -> None:
     p_exp.add_argument("--keep-last", type=int, default=2)
 
     sub.add_parser("history")
-    sub.add_parser("fsck")
+    p_fsck = sub.add_parser("fsck")
+    p_fsck.add_argument(
+        "--deep", action="store_true",
+        help="also recompute per-table row counts + content-hash XORs "
+             "and compare to the lineage log (one scan per table; needs "
+             "a Spark session)",
+    )
     sub.add_parser("sweep")
 
     args = ap.parse_args()
@@ -91,10 +99,15 @@ def main() -> None:
     from information_retrieval_spark.index.catalog import Catalog
 
     if args.command == "fsck":
-        # metadata-only, like history: runnable without a Spark session
-        from information_retrieval_spark.index.fsck import fsck
+        # metadata-only unless --deep, like history
+        from information_retrieval_spark.index.fsck import fsck, fsck_deep
 
-        report = fsck(args.index_dir)
+        if args.deep:
+            from information_retrieval_spark.session import get_spark
+
+            report = fsck_deep(get_spark("fsck"), args.index_dir)
+        else:
+            report = fsck(args.index_dir)
         print(json.dumps(report, sort_keys=True))
         raise SystemExit(0 if report["ok"] else 1)
 

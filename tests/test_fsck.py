@@ -140,3 +140,43 @@ def test_legacy_index_and_nonsense_paths(tmp_path):
     empty.mkdir()
     rep = fsck(str(empty))
     assert not rep["ok"]
+
+
+def test_deep_fsck_healthy_and_after_compact(spark, idx, tmp_path):
+    """Deep mode: physical row counts + content-hash XORs equal the
+    lineage log's totals on a maintained index (build + add + remove),
+    and still do after a purging compact rewrote the tables and SET a
+    fresh lineage log."""
+    from information_retrieval_spark.index.fsck import fsck_deep
+
+    d = str(tmp_path / "deep")
+    shutil.copytree(idx, d)
+    rep = fsck_deep(spark, d)
+    assert rep["ok"], rep["errors"]
+    assert set(rep["deep"]) == {"postings_flat", "doclen", "packed"}
+    assert all(v["match"] for v in rep["deep"].values())
+    IndexMaintenance(spark, d).compact()
+    rep2 = fsck_deep(spark, d)
+    assert rep2["ok"], rep2["errors"]
+    # the purge physically dropped the tombstoned docs' rows
+    assert (rep2["deep"]["doclen"]["rows_physical"]
+            < rep["deep"]["doclen"]["rows_physical"])
+
+
+def test_deep_fsck_flags_duplicated_part_file(spark, idx, tmp_path):
+    """A duplicated parquet part file passes every shallow check (all
+    referenced dirs exist) but inflates rows and flips the XOR — only
+    the deep pass catches it."""
+    from information_retrieval_spark.index.fsck import fsck, fsck_deep
+
+    d = str(tmp_path / "dupe")
+    shutil.copytree(idx, d)
+    pf = Catalog(d).table_dirs("postings_flat")[0]
+    part = next(f for f in os.listdir(pf) if f.endswith(".parquet"))
+    shutil.copy(os.path.join(pf, part),
+                os.path.join(pf, "part-duplicated.parquet"))
+    assert fsck(d)["ok"]  # shallow cannot see it
+    rep = fsck_deep(spark, d)
+    assert not rep["ok"]
+    assert not rep["deep"]["postings_flat"]["match"]
+    assert any("deep: postings_flat" in e for e in rep["errors"])

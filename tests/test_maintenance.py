@@ -1020,6 +1020,15 @@ def test_maintenance_algebra_random_sequence(spark, tmp_path_factory):
             maint.compact()
         check(step)
 
+    # data-integrity epilogue: the lineage log's totals must equal the
+    # final physical tables after the whole random sequence (per-step
+    # would be 3 extra scans each; the invariant composes, so the end
+    # state covers the path)
+    from information_retrieval_spark.index.fsck import fsck_deep
+
+    rep = fsck_deep(spark, d)
+    assert rep["ok"] and all(v["match"] for v in rep["deep"].values()), rep
+
 
 # ------------------------------------------------------------------ update
 
