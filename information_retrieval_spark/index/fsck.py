@@ -52,7 +52,9 @@ from information_retrieval_spark.index.catalog import (
 )
 
 
-def _dir_bytes(path: str) -> int:
+def dir_bytes(path: str) -> int:
+    """Recursive on-disk bytes of ``path`` (the shared helper — the bench
+    scripts import it too)."""
     total = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -63,8 +65,9 @@ def _dir_bytes(path: str) -> int:
 
 
 def _read_delete_vector(dirs: list[str]) -> tuple[int, int, int, int]:
-    """(n_tombstones, max_upto, n_future, n_legacy_global) via pyarrow —
-    the vector is mutation-sized by construction, never corpus-sized."""
+    """(n_tombstones, max_upto, n_seq_scoped, n_legacy_global) via
+    pyarrow — the vector is mutation-sized by construction, never
+    corpus-sized."""
     import pyarrow.parquet as pq
 
     n = 0
@@ -114,9 +117,23 @@ def fsck_deep(spark, index_dir: str, version: int | None = None) -> dict:
     cat = Catalog(index_dir)
     deep: dict = {}
     report["deep"] = deep
-    lin_dirs = cat.table_dirs("lineage", version)
+    try:
+        lin_dirs = cat.table_dirs("lineage", version)
+    except (OSError, ValueError, json.JSONDecodeError) as e:
+        report["errors"].append(f"deep: snapshot unreadable: {e}")
+        report["ok"] = False
+        return report
     if not lin_dirs:
         report["errors"].append("no lineage table in the snapshot")
+        report["ok"] = False
+        return report
+    missing_lin = [d for d in lin_dirs if not os.path.isdir(d)]
+    if missing_lin:
+        # the shallow pass already recorded the missing dirs as errors;
+        # the comparison baseline is gone — report, don't crash
+        report["errors"].append(
+            f"deep: lineage dir(s) missing, cannot compare: {missing_lin}"
+        )
         report["ok"] = False
         return report
     lin = {
@@ -132,6 +149,13 @@ def fsck_deep(spark, index_dir: str, version: int | None = None) -> dict:
     for table, hexpr in LINEAGE_SPECS.items():
         dirs = cat.table_dirs(table, version)
         if not dirs:
+            continue
+        if any(not os.path.isdir(d) for d in dirs):
+            # shallow already errored on the missing dir(s); scanning the
+            # survivors would mismatch trivially — skip with a marker so
+            # deep fsck stays usable on exactly the broken indexes it's
+            # for, instead of raising PATH_NOT_FOUND
+            deep[table] = {"skipped": "missing data dir(s)"}
             continue
         row = (
             spark.read.parquet(*dirs)
@@ -187,11 +211,13 @@ def fsck(index_dir: str) -> dict:
 
     # -- snapshots parse; every referenced dir exists; seq order holds ----
     referenced: set[str] = set()
+    unreadable: set[int] = set()
     for v in versions:
         try:
             snap = cat.load(v)
         except (OSError, ValueError, json.JSONDecodeError) as e:
             errors.append(f"snapshot v{v} unreadable: {e}")
+            unreadable.add(v)
             continue
         for table, dirs in snap["tables"].items():
             referenced.update(dirs)
@@ -220,7 +246,7 @@ def fsck(index_dir: str) -> dict:
                     )
 
     # -- delete vector sanity --------------------------------------------
-    if cur is not None:
+    if cur is not None and cur not in unreadable:
         dd_dirs = [cat.abspath(r)
                    for r in cat.load(cur)["tables"].get("deleted_docs", [])]
         if dd_dirs:
@@ -243,15 +269,24 @@ def fsck(index_dir: str) -> dict:
                 )
 
     # -- orphans (report-only; Catalog.sweep_orphans deletes) -------------
+    # with any snapshot unreadable the referenced set is incomplete, so
+    # "unreferenced" cannot be decided — a dir held only by the corrupt
+    # snapshot is NOT reclaimable (and sweep_orphans would crash on the
+    # same load) — report nothing rather than mislabel live data
     orphan_dirs: list[str] = []
     orphan_bytes = 0
     data_root = os.path.join(index_dir, DATA_SUBDIR)
-    if os.path.isdir(data_root):
+    if unreadable:
+        warnings.append(
+            "orphan detection skipped: unreadable snapshot(s) make the "
+            "referenced-dir set incomplete — repair the catalog first"
+        )
+    elif os.path.isdir(data_root):
         for fn in sorted(os.listdir(data_root)):
             rel = os.path.join(DATA_SUBDIR, fn)
             if rel not in referenced:
                 orphan_dirs.append(rel)
-                orphan_bytes += _dir_bytes(os.path.join(data_root, fn))
+                orphan_bytes += dir_bytes(os.path.join(data_root, fn))
     cat_dir = os.path.join(index_dir, CATALOG_SUBDIR)
     orphan_snaps = []
     if cur is not None and os.path.isdir(cat_dir):

@@ -69,12 +69,9 @@ def ensure_corpus(n: int) -> str:
     return out
 
 
-def du_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
+from information_retrieval_spark.index.fsck import (  # noqa: E402
+    dir_bytes as du_bytes,
+)
 
 
 def run_size(spark, n: int) -> dict:

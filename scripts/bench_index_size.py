@@ -31,13 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(os.environ.get("SIZE_DOCS", "100000"))
 
-
-def dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
+from information_retrieval_spark.index.fsck import dir_bytes  # noqa: E402
 
 
 def fmt_mb(b: int) -> str:

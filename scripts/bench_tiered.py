@@ -32,12 +32,9 @@ N_DELTA = int(os.environ.get("TIER_DELTA_DOCS", "1000"))
 K_ADDS = int(os.environ.get("TIER_ADDS", "4"))
 
 
-def du_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-    return total
+from information_retrieval_spark.index.fsck import (  # noqa: E402
+    dir_bytes as du_bytes,
+)
 
 
 def main() -> None:

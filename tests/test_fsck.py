@@ -180,3 +180,38 @@ def test_deep_fsck_flags_duplicated_part_file(spark, idx, tmp_path):
     assert not rep["ok"]
     assert not rep["deep"]["postings_flat"]["match"]
     assert any("deep: postings_flat" in e for e in rep["errors"])
+
+
+def test_corrupt_current_snapshot_reports_not_crashes(idx, tmp_path):
+    """A truncated CURRENT snapshot file is exactly the crash debris
+    fsck exists to report — it must return the report (error recorded,
+    orphan classification skipped as undecidable), not raise out of the
+    delete-vector or orphan passes."""
+    d = str(tmp_path / "corrupt")
+    shutil.copytree(idx, d)
+    cur = Catalog(d).current_version()
+    with open(os.path.join(d, "catalog", f"v{cur}.json"), "w") as f:
+        f.write('{"version": truncated')
+    rep = fsck(d)
+    assert not rep["ok"]
+    assert any(f"snapshot v{cur} unreadable" in e for e in rep["errors"])
+    assert rep["orphans"]["data_dirs"] == []  # undecidable, not misreported
+    assert any("orphan detection skipped" in w for w in rep["warnings"])
+
+
+def test_deep_fsck_skips_missing_dirs_instead_of_raising(
+    spark, idx, tmp_path
+):
+    """Deep mode on an index whose referenced dir is gone (the shallow
+    error case) must stay usable: the broken table is marked skipped,
+    the intact tables still compare, and no PATH_NOT_FOUND escapes."""
+    from information_retrieval_spark.index.fsck import fsck_deep
+
+    d = str(tmp_path / "deepmissing")
+    shutil.copytree(idx, d)
+    shutil.rmtree(Catalog(d).table_dirs("doclen")[0])
+    rep = fsck_deep(spark, d)
+    assert not rep["ok"]  # the shallow missing-dir error
+    assert rep["deep"]["doclen"] == {"skipped": "missing data dir(s)"}
+    assert rep["deep"]["postings_flat"]["match"]
+    assert rep["deep"]["packed"]["match"]
