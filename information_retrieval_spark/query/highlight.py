@@ -52,6 +52,31 @@ def apply_markup(text: str, offsets: list[tuple[int, int]]) -> str:
     return "".join(out)
 
 
+def _gather(
+    spark: SparkSession,
+    index_dir: str,
+    results: DataFrame,
+    corpus: DataFrame,
+    qterms: list[str],
+):
+    """Shared driver-side gather for the k result rows: (result rows,
+    (doc_id, section) → [(offset, length, term)], doc_id → corpus row)."""
+    res_rows = results.collect()
+    doc_ids = {r.doc_id for r in res_rows}
+    offs = match_offsets(spark, index_dir, results, qterms).collect()
+    by_doc: dict[tuple[int, str], list[tuple[int, int, str]]] = {}
+    for r in offs:
+        for p in r.positions:
+            by_doc.setdefault((r.doc_id, r.section), []).append(
+                (p, len(r.term), r.term)
+            )
+    texts = {
+        r["doc_id"]: r
+        for r in corpus.filter(F.col("doc_id").isin(list(doc_ids))).collect()
+    }
+    return res_rows, by_doc, texts
+
+
 def highlight_results(
     spark: SparkSession,
     index_dir: str,
@@ -62,17 +87,9 @@ def highlight_results(
 ) -> list[dict]:
     """Driver-side markup of the final k rows: returns
     [{query_id, rank, doc_id, <section>: marked_text, ...}]."""
-    res_rows = results.collect()
-    doc_ids = {r.doc_id for r in res_rows}
-    offs = match_offsets(spark, index_dir, results, qterms).collect()
-    by_doc: dict[tuple[int, str], list[tuple[int, int]]] = {}
-    for r in offs:
-        for p in r.positions:
-            by_doc.setdefault((r.doc_id, r.section), []).append((p, len(r.term)))
-    texts = {
-        r["doc_id"]: r
-        for r in corpus.filter(F.col("doc_id").isin(list(doc_ids))).collect()
-    }
+    res_rows, by_doc, texts = _gather(
+        spark, index_dir, results, corpus, qterms
+    )
     out = []
     for r in res_rows:
         row = {"query_id": r.query_id, "rank": r.rank, "doc_id": r.doc_id,
@@ -81,7 +98,8 @@ def highlight_results(
         for section, col in section_cols.items():
             text = src[col] if src else ""
             row[section] = apply_markup(
-                text, by_doc.get((r.doc_id, section), [])
+                text,
+                [(o, ln) for o, ln, _ in by_doc.get((r.doc_id, section), [])],
             )
         out.append(row)
     return out
@@ -99,30 +117,36 @@ def best_passage(
     ``(offset, length, term)``: the window START is anchored at some
     span's offset (an optimal window can always be slid right until it
     hits one), scored by (#spans fully inside, #distinct terms inside),
-    ties → earliest. Returns (window_start, spans_inside) — spans sorted,
-    two-pointer, O(n). The reference marks up whole sections
+    ties → earliest. Returns (window_start, spans_inside) — correct for
+    overlapping spans too. The reference marks up whole sections
     (`common.py:158-170`); at 100 TB result docs are megabytes, so the
     server returns a query-dense excerpt instead of the document."""
     if not spans:
         return 0, []
     spans = sorted(spans)
-    best = (-1, -1, 0, 0)  # (-count, -distinct) maximized via > compare
-    j = 0
+    # Per anchor, membership is "fits entirely": o >= off AND
+    # o + ln <= off + window. Under OVERLAPPING spans that set is not a
+    # contiguous prefix (a long blocker can precede a short span that
+    # fits), so a monotone two-pointer under-counts — scan the window's
+    # span starts per anchor instead: O(n · spans-per-window), and span
+    # lists here are per-(doc, section) for k result rows, never
+    # corpus-sized.
+    best_score = (-1, -1)
+    best_start = 0
+    best_inside: list[tuple[int, int]] = []
     for i, (off, _ln, _t) in enumerate(spans):
-        if j < i:
-            j = i
-        while j < len(spans) and spans[j][0] + spans[j][1] <= off + window:
-            j += 1
-        inside = spans[i:j]
+        inside = []
+        for o, ln, t in spans[i:]:
+            if o >= off + window:
+                break
+            if o + ln <= off + window:
+                inside.append((o, ln, t))
         score = (len(inside), len({t for _, _, t in inside}))
-        if score > best[:2]:
-            best = (score[0], score[1], off, i)
-    start, i0 = best[2], best[3]
-    inside = [
-        (o, ln) for o, ln, _ in spans[i0:]
-        if o + ln <= start + window
-    ]
-    return start, inside
+        if score > best_score:
+            best_score = score
+            best_start = off
+            best_inside = [(o, ln) for o, ln, _ in inside]
+    return best_start, best_inside
 
 
 def passage_results(
@@ -142,19 +166,9 @@ def passage_results(
     reference UI's behavior for unmatched sections). Driver-side over
     the k result rows only — corpus text reaches the driver k rows at a
     time, never corpus-sized."""
-    res_rows = results.collect()
-    doc_ids = {r.doc_id for r in res_rows}
-    offs = match_offsets(spark, index_dir, results, qterms).collect()
-    by_doc: dict[tuple[int, str], list[tuple[int, int, str]]] = {}
-    for r in offs:
-        for p in r.positions:
-            by_doc.setdefault((r.doc_id, r.section), []).append(
-                (p, len(r.term), r.term)
-            )
-    texts = {
-        r["doc_id"]: r
-        for r in corpus.filter(F.col("doc_id").isin(list(doc_ids))).collect()
-    }
+    res_rows, by_doc, texts = _gather(
+        spark, index_dir, results, corpus, qterms
+    )
     out = []
     for r in res_rows:
         row = {"query_id": r.query_id, "rank": r.rank, "doc_id": r.doc_id,

@@ -25,15 +25,19 @@ def _brute(spans, window):
 
 
 def test_best_passage_matches_brute_oracle():
+    # regime deliberately includes windows SMALLER than the longest term
+    # and dense overlapping spans — the corner where a blocking long span
+    # precedes a short fitting one (a monotone two-pointer under-counts
+    # there; caught by review, regression below)
     rng = random.Random(42)
-    terms = ["alpha", "be", "gamma7"]
-    for trial in range(200):
+    terms = ["alpha", "be", "gamma7", "superlongterm12"]
+    for trial in range(400):
         n = rng.randrange(0, 12)
         spans = []
         for _ in range(n):
             t = rng.choice(terms)
-            spans.append((rng.randrange(0, 400), len(t), t))
-        window = rng.choice([10, 40, 120])
+            spans.append((rng.randrange(0, 60), len(t), t))
+        window = rng.choice([5, 10, 40, 120])
         start, inside = best_passage(spans, window)
         if not spans:
             assert (start, inside) == (0, [])
@@ -49,6 +53,17 @@ def test_best_passage_matches_brute_oracle():
         # every chosen span really fits the window
         assert all(start <= o and o + ln <= start + window
                    for o, ln in inside)
+
+
+def test_best_passage_overlapping_blocker_regression():
+    """Review repro: the window anchored at 33 holds 3 spans, but a
+    monotone two-pointer stops at the long blocker (38,9) (end 47 > 43)
+    and never counts (39,2) which fits — must return start 33."""
+    spans = [(4, 5, "c"), (11, 2, "a"), (12, 9, "b"), (33, 1, "b"),
+             (35, 7, "c"), (38, 9, "c"), (39, 2, "b")]
+    start, inside = best_passage(spans, 10)
+    assert start == 33
+    assert sorted(inside) == [(33, 1), (35, 7), (39, 2)]
 
 
 def test_best_passage_prefers_distinct_terms_and_earliest():
